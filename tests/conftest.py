@@ -1,0 +1,27 @@
+"""Test configuration: run everything on 8 virtual CPU devices.
+
+Set BEFORE jax is imported anywhere: tests must not grab the (single) real TPU
+— the multi-device data-parallel path (SURVEY.md §4 item 3) is exercised on a
+virtual 8-device CPU mesh, the standard JAX substitute for a fake distributed
+backend.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# keep the TF oracle quiet and CPU-only
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
