@@ -1,0 +1,100 @@
+"""RPN model: backbone + shared 3x3 conv head + 1x1 cls/reg branches.
+
+TPU-native rebuild of the reference's ``models/rpn_vgg16.get_model`` /
+``models/rpn_mobilenet_v2.get_model`` (SURVEY.md §3.3): a stride-16 backbone
+feature map, a shared ``Conv2D(512, 3, same, relu)`` ("rpn_conv"), and two 1x1
+branches — ``rpn_cls`` (anchor_count objectness channels) and ``rpn_reg``
+(4*anchor_count delta channels).
+
+Design difference from the reference: the cls branch emits **logits** (no
+sigmoid baked into the conv) — the stable/fusable form for the loss; the
+predictor applies the sigmoid where scores are needed. Output order matches
+the reference: ``(rpn_reg, rpn_cls)``.
+
+``get_model(hp)`` / ``init_model(model)`` mirror the reference's public API
+(BASELINE.json:5 "Public API mirrors tf-rpn's get_model").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .config import HyperParams
+from .backbones import VGG16Backbone, MobileNetV2Backbone
+
+
+class RPN(nn.Module):
+    """Flax module: image batch -> (rpn_reg, rpn_cls_logits)."""
+
+    hp: HyperParams
+
+    @nn.compact
+    def __call__(
+        self, images: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        hp = self.hp
+        dtype = jnp.dtype(hp.compute_dtype)
+        param_dtype = jnp.dtype(hp.param_dtype)
+        if hp.backbone == "vgg16":
+            backbone = VGG16Backbone(
+                dtype=dtype, param_dtype=param_dtype, name="backbone"
+            )
+        elif hp.backbone == "mobilenet_v2":
+            backbone = MobileNetV2Backbone(
+                dtype=dtype, param_dtype=param_dtype, name="backbone"
+            )
+        else:  # pragma: no cover - config validates earlier
+            raise ValueError(f"unknown backbone {hp.backbone!r}")
+
+        feat = backbone(images, train=train)
+        conv_kw = dict(dtype=dtype, param_dtype=param_dtype)
+        x = nn.Conv(512, (3, 3), padding="SAME", name="rpn_conv", **conv_kw)(feat)
+        x = nn.relu(x)
+        rpn_cls = nn.Conv(hp.anchor_count, (1, 1), name="rpn_cls", **conv_kw)(x)
+        rpn_reg = nn.Conv(4 * hp.anchor_count, (1, 1), name="rpn_reg", **conv_kw)(x)
+        # head outputs in fp32: small tensors, and the loss/decode math wants
+        # full precision
+        return rpn_reg.astype(jnp.float32), rpn_cls.astype(jnp.float32)
+
+
+@dataclasses.dataclass
+class RPNModel:
+    """Thin convenience wrapper pairing the module with its hyper params.
+
+    Keeps the reference's ``model = get_model(hp)`` call shape while staying
+    functional underneath (flax init/apply).
+    """
+
+    hp: HyperParams
+    module: RPN
+
+    def init(self, key: jax.Array, sample: jnp.ndarray | None = None):
+        """Initialize variables ({'params': ..., 'batch_stats': ...?})."""
+        if sample is None:
+            sample = jnp.zeros((1, self.hp.img_size, self.hp.img_size, 3), jnp.float32)
+        return self.module.init(key, sample, train=False)
+
+    def apply(self, variables, images, train: bool = False, **kw):
+        """Forward pass -> (rpn_reg, rpn_cls_logits). With train=True and a
+        batch_stats collection present, pass mutable=['batch_stats'] via kw."""
+        return self.module.apply(variables, images, train=train, **kw)
+
+
+def get_model(hp: HyperParams) -> RPNModel:
+    """Mirror of the reference's ``get_model(hyper_params)``."""
+    return RPNModel(hp=hp, module=RPN(hp=hp))
+
+
+def init_model(model: RPNModel, key: jax.Array | None = None):
+    """Mirror of the reference's ``init_model`` (dummy forward to build).
+
+    In JAX, initialization IS the dummy forward; returns the variables.
+    """
+    if key is None:
+        key = jax.random.key(0)
+    return model.init(key)
