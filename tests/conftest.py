@@ -8,7 +8,9 @@ backend.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment's sitecustomize pre-sets JAX_PLATFORMS=axon (the TPU
+# tunnel) at interpreter start, so a plain env var is not enough — force the
+# platform through jax.config, which wins over the env at backend init.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 # keep the TF oracle quiet and CPU-only
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

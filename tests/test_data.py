@@ -1,0 +1,80 @@
+"""Data pipeline tests: synthetic fixture determinism + on-device preprocessing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpurpn.data import SyntheticVOC, preprocess_batch, get_dataset, VOC_CLASSES
+
+
+def test_synthetic_deterministic():
+    ds1, ds2 = SyntheticVOC(num_samples=4, seed=3), SyntheticVOC(num_samples=4, seed=3)
+    img1, b1, l1 = ds1.sample(2)
+    img2, b2, l2 = ds2.sample(2)
+    np.testing.assert_array_equal(img1, img2)
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(l1, l2)
+    img3, _, _ = ds1.sample(3)
+    assert not np.array_equal(img1, img3)
+
+
+def test_synthetic_format():
+    ds = SyntheticVOC(num_samples=8, max_boxes=5)
+    img, boxes, labels = ds.sample(0)
+    assert img.shape == (375, 500, 3) and img.dtype == np.uint8
+    assert boxes.shape == (5, 4) and labels.shape == (5,)
+    valid = labels != -1
+    assert valid.sum() >= 1
+    assert np.all(boxes[valid][:, 2:] > boxes[valid][:, :2])  # y2>y1, x2>x1
+    assert boxes[valid].min() >= 0 and boxes[valid].max() <= 1
+    assert np.all(boxes[~valid] == 0)
+    assert np.all((labels[valid] >= 1) & (labels[valid] <= len(VOC_CLASSES)))
+
+
+def test_synthetic_batches():
+    ds = SyntheticVOC(num_samples=10)
+    batches = list(ds.batches(4))
+    assert len(batches) == 2  # drop remainder
+    imgs, boxes, labels = batches[0]
+    assert imgs.shape == (4, 375, 500, 3)
+    assert boxes.shape == (4, 8, 4) and labels.shape == (4, 8)
+
+
+def test_preprocess_resize_and_range():
+    ds = SyntheticVOC(num_samples=4)
+    imgs, boxes, labels = next(ds.batches(4))
+    x, b = preprocess_batch(jnp.asarray(imgs), jnp.asarray(boxes), 128)
+    assert x.shape == (4, 128, 128, 3) and x.dtype == jnp.float32
+    assert float(x.min()) >= 0.0 and float(x.max()) <= 1.0
+    np.testing.assert_array_equal(np.asarray(b), boxes)  # no aug -> boxes pass through
+
+
+def test_preprocess_flip_boxes_mirror():
+    # deterministic flip check: find a key where image 0 flips
+    ds = SyntheticVOC(num_samples=2)
+    imgs, boxes, labels = next(ds.batches(2))
+    imgs_j, boxes_j = jnp.asarray(imgs), jnp.asarray(boxes)
+    for s in range(20):
+        key = jax.random.key(s)
+        flip = jax.random.bernoulli(key, 0.5, (2,))
+        if bool(flip[0]):
+            break
+    x, b = preprocess_batch(imgs_j, boxes_j, 96, augment=True, key=key)
+    x0_ref, _ = preprocess_batch(imgs_j, boxes_j, 96)
+    np.testing.assert_allclose(
+        np.asarray(x[0]), np.asarray(x0_ref[0])[:, ::-1, :], atol=1e-6
+    )
+    valid = labels[0] != -1
+    got = np.asarray(b[0])[valid]
+    orig = boxes[0][valid]
+    np.testing.assert_allclose(got[:, 1], 1 - orig[:, 3], atol=1e-6)  # x1' = 1-x2
+    np.testing.assert_allclose(got[:, 3], 1 - orig[:, 1], atol=1e-6)  # x2' = 1-x1
+    np.testing.assert_allclose(got[:, [0, 2]], orig[:, [0, 2]], atol=1e-6)  # y same
+    # padded rows stay zero
+    np.testing.assert_array_equal(np.asarray(b[0])[~valid], 0.0)
+
+
+def test_get_dataset_splits_differ():
+    tr = get_dataset("synthetic", "train", num_samples=2)
+    te = get_dataset("synthetic", "test", num_samples=2)
+    assert not np.array_equal(tr.sample(0)[0], te.sample(0)[0])

@@ -1,0 +1,121 @@
+"""Proposal-generation pipeline tests (BASELINE configs 1/2 path)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpurpn import get_hyper_params, generate_anchors
+from tpurpn.boxes import get_deltas_from_bboxes
+from tpurpn.predict import decode_outputs, generate_proposals, make_predict_fn
+from tpurpn.eval import proposal_recall
+from tpurpn.model import get_model, init_model
+
+
+@pytest.fixture(scope="module")
+def hp():
+    # small image keeps CPU runtime sane; same code path as 500x500
+    return get_hyper_params("vgg16", img_size=160, compute_dtype="float32")
+
+
+def test_decode_outputs_roundtrip(hp):
+    """Head outputs constructed from a known box must decode back to it."""
+    anchors = generate_anchors(hp)
+    fm, A = hp.feature_map_shape, hp.anchor_count
+    target = jnp.asarray([0.22, 0.31, 0.55, 0.62])
+    # encode target vs every anchor, divide by variances (the network's output
+    # convention), then decode — result must be the target box everywhere
+    deltas = get_deltas_from_bboxes(anchors, jnp.tile(target, (anchors.shape[0], 1)))
+    deltas = deltas / jnp.asarray(hp.variances)
+    rpn_reg = deltas.reshape(1, fm, fm, A * 4)
+    rpn_cls = jnp.zeros((1, fm, fm, A))
+    boxes, scores = decode_outputs(anchors, rpn_reg, rpn_cls, hp)
+    np.testing.assert_allclose(
+        np.asarray(boxes[0]), np.tile(np.asarray(target), (anchors.shape[0], 1)),
+        atol=3e-5,  # fp32 rounding through the /variances -> *variances trip
+    )
+    np.testing.assert_allclose(np.asarray(scores), 0.5, atol=1e-6)  # sigmoid(0)
+
+
+def test_generate_proposals_selects_highest_scoring(hp):
+    anchors = generate_anchors(hp)
+    N = anchors.shape[0]
+    rng = np.random.default_rng(0)
+    boxes = jnp.asarray(
+        np.stack([rng.uniform(0, 0.5, (N, 2)), rng.uniform(0.5, 1, (N, 2))], -1)
+        .reshape(N, 4)[None]
+        .astype(np.float32)
+    )
+    # boxes built as [y1,x1..] mix — rebuild properly: y1x1 then y2x2
+    b = np.zeros((N, 4), np.float32)
+    b[:, :2] = rng.uniform(0, 0.6, (N, 2))
+    b[:, 2:] = b[:, :2] + rng.uniform(0.05, 0.3, (N, 2))
+    boxes = jnp.asarray(b[None])
+    scores = jnp.asarray(rng.uniform(0, 0.8, (1, N)).astype(np.float32))
+    # plant a clear winner
+    winner = N // 2
+    scores = scores.at[0, winner].set(0.99)
+    out = generate_proposals(boxes, scores, hp, topn=50)
+    assert out["roi_boxes"].shape == (1, 50, 4)
+    assert out["roi_scores"].shape == (1, 50)
+    np.testing.assert_allclose(float(out["roi_scores"][0, 0]), 0.99, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["roi_boxes"][0, 0]), b[winner], atol=1e-6)
+    # scores are sorted descending over the valid prefix
+    nv = int(out["num_valid"][0])
+    s = np.asarray(out["roi_scores"][0, :nv])
+    assert np.all(np.diff(s) <= 1e-7)
+
+
+def test_generate_proposals_suppresses_duplicates(hp):
+    # 200 copies of one box + 1 distinct box: NMS must return exactly 2 valid
+    base = np.array([0.2, 0.2, 0.5, 0.5], np.float32)
+    other = np.array([0.6, 0.6, 0.9, 0.9], np.float32)
+    boxes = np.tile(base, (201, 1))
+    boxes[200] = other
+    scores = np.linspace(0.1, 0.9, 201).astype(np.float32)
+    out = generate_proposals(jnp.asarray(boxes[None]), jnp.asarray(scores[None]), hp, topn=10)
+    assert int(out["num_valid"][0]) == 2
+    np.testing.assert_array_equal(np.asarray(out["roi_boxes"][0, 2:]), 0.0)
+
+
+def test_full_predict_fn_shapes(hp):
+    model = get_model(hp)
+    variables = init_model(model, jax.random.key(0))
+    predict = make_predict_fn(model, hp, topn=100)
+    images = jax.random.uniform(jax.random.key(1), (2, hp.img_size, hp.img_size, 3))
+    out = predict(variables, images)
+    assert out["roi_boxes"].shape == (2, 100, 4)
+    assert out["roi_scores"].shape == (2, 100)
+    assert out["num_valid"].shape == (2,)
+    assert np.isfinite(np.asarray(out["roi_boxes"])).all()
+
+
+def test_proposal_recall_perfect_and_empty(hp):
+    gt = jnp.asarray(
+        [[[0.1, 0.1, 0.4, 0.4], [0.5, 0.5, 0.9, 0.8]]], jnp.float32
+    )
+    labels = jnp.asarray([[1, 5]], jnp.int32)
+    # proposals == gt -> recall 1
+    props = jnp.zeros((1, 10, 4)).at[:, :2].set(gt)
+    r = proposal_recall(props, jnp.asarray([2]), gt, labels)
+    assert float(r["recall"]) == 1.0 and int(r["num_gt"]) == 2
+    # no valid proposals -> recall 0
+    r0 = proposal_recall(props, jnp.asarray([0]), gt, labels)
+    assert float(r0["recall"]) == 0.0
+    # padding GT ignored
+    labels_pad = jnp.asarray([[1, -1]], jnp.int32)
+    r2 = proposal_recall(props, jnp.asarray([2]), gt, labels_pad)
+    assert int(r2["num_gt"]) == 1
+
+
+def test_proposal_recall_iou_threshold(hp):
+    gt = jnp.asarray([[[0.0, 0.0, 0.4, 0.4]]], jnp.float32)
+    labels = jnp.asarray([[1]], jnp.int32)
+    # proposal with IoU ~ 0.36 vs gt (shifted) — recalled at 0.3, not at 0.5
+    prop = jnp.asarray([[[0.1, 0.1, 0.5, 0.5]]], jnp.float32)
+    props = jnp.zeros((1, 5, 4)).at[:, :1].set(prop)
+    nv = jnp.asarray([1])
+    r_lo = proposal_recall(props, nv, gt, labels, iou_threshold=0.3)
+    r_hi = proposal_recall(props, nv, gt, labels, iou_threshold=0.5)
+    assert float(r_lo["recall"]) == 1.0
+    assert float(r_hi["recall"]) == 0.0

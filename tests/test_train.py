@@ -1,0 +1,115 @@
+"""Train-step tests: loss decreases, mesh-sharded == single-device (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpurpn import get_hyper_params
+from tpurpn.data import SyntheticVOC, preprocess_batch
+from tpurpn.model import get_model
+from tpurpn.train import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+    make_data_mesh,
+    shard_batch,
+    replicate,
+)
+
+
+def tiny_hp(backbone="vgg16"):
+    return get_hyper_params(
+        backbone,
+        img_size=64,
+        compute_dtype="float32",
+        max_gt_boxes=8,
+        total_pos_bboxes=16,
+        total_neg_bboxes=16,
+    )
+
+
+def make_batch(hp, batch_size=8, seed=0):
+    ds = SyntheticVOC(num_samples=batch_size, raw_h=72, raw_w=96, seed=seed)
+    imgs, boxes, labels = next(ds.batches(batch_size))
+    return jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(labels)
+
+
+def test_train_step_runs_and_loss_decreases():
+    import optax
+
+    hp = tiny_hp()
+    state = create_train_state(hp, jax.random.key(0), tx=optax.adam(1e-3))
+    step = make_train_step(hp, augment=False)
+    imgs, boxes, labels = make_batch(hp)
+    losses = []
+    for i in range(20):
+        state, metrics = step(state, imgs, boxes, labels, jax.random.key(42))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.8, losses
+    assert int(state.step) == 20
+
+
+def test_train_step_mobilenet_updates_batch_stats():
+    hp = tiny_hp("mobilenet_v2")
+    state = create_train_state(hp, jax.random.key(0))
+    step = make_train_step(hp, augment=False)
+    imgs, boxes, labels = make_batch(hp, batch_size=4)
+    # materialize before the step: donate_argnums frees the old buffers
+    old_stats = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.batch_stats)]
+    state, metrics = step(state, imgs, boxes, labels, jax.random.key(0))
+    new_stats = jax.tree_util.tree_leaves(state.batch_stats)
+    assert len(old_stats) > 0
+    assert any(
+        not np.allclose(a, np.asarray(b)) for a, b in zip(old_stats, new_stats)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_num_pos_bounded_by_minibatch():
+    hp = tiny_hp()
+    state = create_train_state(hp, jax.random.key(0))
+    step = make_train_step(hp, augment=False)
+    imgs, boxes, labels = make_batch(hp)
+    _, metrics = step(state, imgs, boxes, labels, jax.random.key(1))
+    assert 0 < int(metrics["num_pos"]) <= hp.total_pos_bboxes * imgs.shape[0]
+
+
+def test_mesh_train_step_matches_single_device():
+    """Data-parallel jit over 8 virtual devices == single-device math."""
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    hp = tiny_hp()
+    imgs, boxes, labels = make_batch(hp, batch_size=8)
+    key = jax.random.key(7)
+
+    state_a = create_train_state(hp, jax.random.key(0))
+    step_a = make_train_step(hp, augment=False)
+    state_a, m_a = step_a(state_a, imgs, boxes, labels, key)
+
+    mesh = make_data_mesh(8)
+    state_b = replicate(mesh, create_train_state(hp, jax.random.key(0)))
+    step_b = make_train_step(hp, mesh=mesh, augment=False)
+    sh_imgs, sh_boxes, sh_labels = shard_batch(mesh, imgs, boxes, labels)
+    state_b, m_b = step_b(state_b, sh_imgs, sh_boxes, sh_labels, key)
+
+    np.testing.assert_allclose(
+        float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5
+    )
+    # params identical after one step
+    flat_a = jax.tree_util.tree_leaves(state_a.params)
+    flat_b = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_mesh_train_step_multiple_steps_finite():
+    mesh = make_data_mesh(8)
+    hp = tiny_hp()
+    state = replicate(mesh, create_train_state(hp, jax.random.key(0)))
+    step = make_train_step(hp, mesh=mesh, augment=True)
+    imgs, boxes, labels = make_batch(hp, batch_size=16)
+    sh = shard_batch(mesh, imgs, boxes, labels)
+    for i in range(3):
+        state, metrics = step(state, *sh, jax.random.key(i))
+        assert np.isfinite(float(metrics["loss"]))

@@ -1,0 +1,227 @@
+"""Data pipeline: on-device preprocessing + VOC-style datasets.
+
+TPU-native rebuild of the reference's ``utils/data_utils`` (SURVEY.md §2 row 7).
+The reference loads Pascal VOC 2007 via tensorflow_datasets and preprocesses
+on the host tf.data workers; here preprocessing (dtype convert, resize, flip
+augmentation) is a jitted XLA function that runs **on device**
+(BASELINE.json:11 "on-device preprocessing"), and datasets are plain
+host-side samplers that hand over fixed-shape uint8 batches:
+
+  images   (B, H, W, 3) uint8
+  gt_boxes (B, max_gt, 4) float32, normalized [y1,x1,y2,x2], zero-padded
+  gt_labels(B, max_gt) int32, -1 padding (matches the reference's
+           padded_batch padding values — boxes 0, labels -1)
+
+Two dataset sources behind one interface:
+* :class:`SyntheticVOC` — deterministic procedurally-generated detection data
+  (no network / tfds in this environment — SURVEY.md §7 "Environment facts");
+* :func:`load_voc_directory` — a real Pascal-VOC directory
+  (JPEGImages/ + Annotations/ XML), if one is available on disk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import xml.etree.ElementTree as ET
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import HyperParams
+
+VOC_CLASSES = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+)
+
+
+# ---------------------------------------------------------------------------
+# On-device preprocessing (jitted XLA ops — reference: data_utils.preprocessing)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("img_size", "augment"))
+def preprocess_batch(
+    images: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    img_size: int,
+    augment: bool = False,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """uint8 batch -> float32 [0,1], resized to (img_size, img_size); optional
+    per-image random horizontal flip mirroring box x-coordinates.
+
+    Boxes are normalized, so resize leaves them unchanged (the reference's
+    tfds boxes likewise pass through resize; flip maps x -> 1 - x).
+    """
+    B = images.shape[0]
+    x = images.astype(jnp.float32) / 255.0  # tf.image.convert_image_dtype
+    x = jax.image.resize(x, (B, img_size, img_size, 3), method="bilinear")
+    if augment:
+        if key is None:
+            raise ValueError("augment=True requires a PRNG key")
+        flip = jax.random.bernoulli(key, 0.5, (B,))
+        flipped_img = x[:, :, ::-1, :]
+        x = jnp.where(flip[:, None, None, None], flipped_img, x)
+        y1, x1, y2, x2 = (gt_boxes[..., i] for i in range(4))
+        # zero-padded rows must stay zero: 1 - x on a padded row would create
+        # a phantom box, so gate on row validity (any nonzero coordinate)
+        valid = jnp.any(gt_boxes != 0.0, axis=-1)
+        fb = jnp.stack([y1, 1.0 - x2, y2, 1.0 - x1], axis=-1)
+        fb = jnp.where(valid[..., None], fb, 0.0)
+        gt_boxes = jnp.where(flip[:, None, None], fb, gt_boxes)
+    return x, gt_boxes
+
+
+# ---------------------------------------------------------------------------
+# Synthetic VOC-style dataset (deterministic fixture — SURVEY.md §4 item 4)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SyntheticVOC:
+    """Procedural detection data: bright axis-aligned rectangles on noise.
+
+    Deterministic per (seed, index): the same sample always has the same
+    image/boxes, so tests and recall metrics are reproducible. Raw images are
+    (raw_h, raw_w) like typical VOC photos; preprocessing resizes them.
+    """
+
+    num_samples: int = 256
+    raw_h: int = 375
+    raw_w: int = 500
+    max_boxes: int = 8
+    min_boxes: int = 1
+    seed: int = 0
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def sample(self, index: int):
+        rng = np.random.default_rng(np.uint32(self.seed * 1_000_003 + index))
+        img = rng.integers(0, 60, size=(self.raw_h, self.raw_w, 3), dtype=np.uint8)
+        n = int(rng.integers(self.min_boxes, self.max_boxes + 1))
+        boxes = np.zeros((self.max_boxes, 4), np.float32)
+        labels = np.full((self.max_boxes,), -1, np.int32)
+        for i in range(n):
+            h = rng.uniform(0.12, 0.6)
+            w = rng.uniform(0.12, 0.6)
+            y1 = rng.uniform(0.0, 1.0 - h)
+            x1 = rng.uniform(0.0, 1.0 - w)
+            boxes[i] = (y1, x1, y1 + h, x1 + w)
+            labels[i] = int(rng.integers(1, len(VOC_CLASSES) + 1))  # 0 = background
+            color = rng.integers(120, 255, size=3)
+            py1, px1 = int(y1 * self.raw_h), int(x1 * self.raw_w)
+            py2, px2 = int((y1 + h) * self.raw_h), int((x1 + w) * self.raw_w)
+            img[py1:py2, px1:px2] = color
+        return img, boxes, labels
+
+    def batches(
+        self, batch_size: int, *, repeat: bool = False, drop_remainder: bool = True
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yield (images u8 (B,H,W,3), boxes (B,M,4), labels (B,M)) batches."""
+        epoch = 0
+        while True:
+            for start in range(0, self.num_samples, batch_size):
+                idxs = range(start, min(start + batch_size, self.num_samples))
+                if drop_remainder and len(idxs) < batch_size:
+                    continue
+                samples = [self.sample(i) for i in idxs]
+                yield (
+                    np.stack([s[0] for s in samples]),
+                    np.stack([s[1] for s in samples]),
+                    np.stack([s[2] for s in samples]),
+                )
+            epoch += 1
+            if not repeat:
+                return
+
+
+# ---------------------------------------------------------------------------
+# Real Pascal-VOC directory loader (offline-friendly)
+# ---------------------------------------------------------------------------
+
+
+def _parse_voc_xml(path: str, max_boxes: int):
+    root = ET.parse(path).getroot()
+    size = root.find("size")
+    h = float(size.find("height").text)
+    w = float(size.find("width").text)
+    boxes = np.zeros((max_boxes, 4), np.float32)
+    labels = np.full((max_boxes,), -1, np.int32)
+    i = 0
+    for obj in root.iter("object"):
+        if i >= max_boxes:
+            break
+        name = obj.find("name").text.strip()
+        if name not in VOC_CLASSES:
+            continue
+        bb = obj.find("bndbox")
+        x1 = float(bb.find("xmin").text) / w
+        y1 = float(bb.find("ymin").text) / h
+        x2 = float(bb.find("xmax").text) / w
+        y2 = float(bb.find("ymax").text) / h
+        boxes[i] = (y1, x1, y2, x2)
+        labels[i] = VOC_CLASSES.index(name) + 1  # 0 = background, like the reference
+        i += 1
+    return boxes, labels
+
+
+@dataclasses.dataclass
+class VOCDirectory:
+    """Pascal-VOC on local disk: <root>/JPEGImages + <root>/Annotations.
+
+    Images are decoded host-side (PIL) and letterbox-free resized on device by
+    :func:`preprocess_batch`, matching the reference's plain square resize.
+    """
+
+    root: str
+    split_ids: List[str]
+    max_boxes: int = 64
+    raw_size: Tuple[int, int] = (500, 500)  # host-side standardization size
+
+    def __len__(self) -> int:
+        return len(self.split_ids)
+
+    def sample(self, index: int):
+        from PIL import Image
+
+        img_id = self.split_ids[index]
+        img_path = os.path.join(self.root, "JPEGImages", img_id + ".jpg")
+        xml_path = os.path.join(self.root, "Annotations", img_id + ".xml")
+        img = Image.open(img_path).convert("RGB").resize(
+            (self.raw_size[1], self.raw_size[0])
+        )
+        boxes, labels = _parse_voc_xml(xml_path, self.max_boxes)
+        return np.asarray(img, np.uint8), boxes, labels
+
+    batches = SyntheticVOC.batches  # same batching logic
+
+
+def load_voc_directory(
+    root: str, split: str = "train", max_boxes: int = 64
+) -> VOCDirectory:
+    """Open a VOCdevkit-style directory (e.g. .../VOC2007). Raises if absent."""
+    split_file = os.path.join(root, "ImageSets", "Main", split + ".txt")
+    with open(split_file) as f:
+        ids = [line.split()[0] for line in f if line.strip()]
+    return VOCDirectory(root=root, split_ids=ids, max_boxes=max_boxes)
+
+
+def get_dataset(
+    name: str = "synthetic", split: str = "train", **kwargs
+):
+    """Dataset factory mirroring the reference's data_utils.get_dataset.
+
+    name="synthetic" -> SyntheticVOC (split selects a disjoint seed);
+    name=<path>     -> VOC directory on disk.
+    """
+    if name == "synthetic":
+        seed = {"train": 0, "validation": 1, "test": 2}.get(split, hash(split) % 1000)
+        return SyntheticVOC(seed=seed, **kwargs)
+    return load_voc_directory(name, split=split, **kwargs)

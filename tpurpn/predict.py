@@ -1,0 +1,108 @@
+"""Proposal generation: decode head outputs -> top-k -> NMS.
+
+TPU-native rebuild of the reference's predictor hot loop
+(rpn_predictor.py, SURVEY.md §3.2): reshape head outputs to (B, N, 4)/(B, N),
+scale deltas by variances, decode against the anchor grid, keep the
+pre_nms_topn highest-scoring boxes, then greedy NMS down to test_nms_topn
+(BASELINE.json:5 names the tf.image.non_max_suppression call this replaces).
+
+Everything is a pure jitted function with static shapes: proposals come back
+as fixed-size (B, topn, 4) plus a validity count per image — the XLA-friendly
+equivalent of TF's ragged NMS output (SURVEY.md §7 "Dynamic shapes").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .anchors import generate_anchors
+from .boxes import batched_non_max_suppression, get_bboxes_from_deltas
+from .config import HyperParams
+
+
+def decode_outputs(
+    anchors: jnp.ndarray,
+    rpn_reg: jnp.ndarray,
+    rpn_cls_logits: jnp.ndarray,
+    hp: HyperParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Head outputs -> (boxes (B, N, 4), scores (B, N)).
+
+    Deltas are multiplied by the variances before decoding and scores are
+    sigmoid objectness — exactly the reference predictor's
+    ``deltas *= variances; get_bboxes_from_deltas`` step.
+    """
+    B = rpn_reg.shape[0]
+    deltas = rpn_reg.reshape(B, -1, 4) * jnp.asarray(hp.variances, jnp.float32)
+    scores = jax.nn.sigmoid(rpn_cls_logits.reshape(B, -1))
+    boxes = get_bboxes_from_deltas(anchors[None], deltas)
+    return boxes, scores
+
+
+@functools.partial(jax.jit, static_argnames=("hp", "topn", "nms_block"))
+def generate_proposals(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    hp: HyperParams,
+    topn: int | None = None,
+    nms_block: int = 128,
+) -> Dict[str, jnp.ndarray]:
+    """Top-k + NMS proposal selection.
+
+    Args:
+      boxes: (B, N, 4) decoded candidate boxes.
+      scores: (B, N) objectness scores.
+      hp: hyper params (pre_nms_topn, nms_iou_threshold, test_nms_topn).
+      topn: output size; defaults to hp.test_nms_topn (use hp.train_nms_topn
+        for the training-time proposal path).
+
+    Returns dict with:
+      roi_boxes: (B, topn, 4); roi_scores: (B, topn) (0 past num_valid);
+      num_valid: (B,) int32.
+    """
+    if topn is None:
+        topn = hp.test_nms_topn
+    N = boxes.shape[1]
+    pre = min(hp.pre_nms_topn, N)
+    top_scores, top_idx = lax.top_k(scores, pre)  # sorted desc, stable
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+
+    sel, num_valid = batched_non_max_suppression(
+        top_boxes,
+        top_scores,
+        max_output_size=topn,
+        iou_threshold=hp.nms_iou_threshold,
+        block=nms_block,
+    )
+    valid = sel >= 0
+    safe_sel = jnp.maximum(sel, 0)
+    roi_boxes = jnp.take_along_axis(top_boxes, safe_sel[..., None], axis=1)
+    roi_scores = jnp.take_along_axis(top_scores, safe_sel, axis=1)
+    roi_boxes = jnp.where(valid[..., None], roi_boxes, 0.0)
+    roi_scores = jnp.where(valid, roi_scores, 0.0)
+    num_valid = jnp.minimum(num_valid, topn).astype(jnp.int32)
+    return {"roi_boxes": roi_boxes, "roi_scores": roi_scores, "num_valid": num_valid}
+
+
+def make_predict_fn(model, hp: HyperParams, topn: int | None = None):
+    """Build the full jitted inference step: images -> proposals.
+
+    Mirrors the reference predictor's per-batch flow
+    (model.predict_on_batch -> reshape -> decode -> NMS) as ONE compiled
+    program — forward, decode, top-k and NMS all stay on device.
+    """
+    anchors = generate_anchors(hp)
+    out_topn = hp.test_nms_topn if topn is None else topn
+
+    @jax.jit
+    def predict(variables, images):
+        rpn_reg, rpn_cls_logits = model.module.apply(variables, images, train=False)
+        boxes, scores = decode_outputs(anchors, rpn_reg, rpn_cls_logits, hp)
+        return generate_proposals(boxes, scores, hp, topn=out_topn)
+
+    return predict

@@ -89,11 +89,15 @@ def calculate_rpn_actual_outputs(
     pos_mask = merged_iou > hp.pos_threshold
 
     # forced positive: the best anchor of every *valid* GT (padding rows have
-    # label -1 and must not force anchor 0 positive)
+    # label -1 and must not force anchor 0 positive). Scatter-free one-hot
+    # formulation: shards over the batch axis with no collectives, and XLA
+    # fuses it into the IoU reduction.
     valid_gt = gt_labels != -1  # (B, M)
-    batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    forced = jnp.zeros((B, N), dtype=bool)
-    forced = forced.at[batch_idx, best_anchor_per_gt].max(valid_gt)
+    anchor_ids = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+    forced = jnp.any(
+        (best_anchor_per_gt[:, None, :] == anchor_ids) & valid_gt[:, None, :],
+        axis=2,
+    )  # (B, N)
     pos_mask = pos_mask | forced
 
     pos_mask = random_select_mask(pos_mask, hp.total_pos_bboxes, pos_key)

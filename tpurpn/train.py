@@ -1,0 +1,194 @@
+"""Training: fused on-device train step, data-parallel over a TPU mesh.
+
+TPU-native rebuild of the reference's training logic (rpn_trainer.py +
+utils/train_utils — SURVEY.md §3.1). Where the reference runs Keras
+``model.fit`` fed by a host-side Python generator that computes targets per
+step, here ONE jitted program per step does everything on device:
+
+  uint8 batch -> preprocess (resize/flip) -> target assignment (IoU matching,
+  balanced sampling) -> forward (bf16 MXU) -> masked losses -> grads -> SGD.
+
+Data parallelism (BASELINE.json:5 "data-parallel over the TPU mesh") is pure
+``jax.sharding``: batch inputs sharded over the mesh's 'data' axis, train
+state replicated; XLA inserts the gradient all-reduce over ICI. The same
+step function runs unchanged on 1 chip, on a virtual 8-CPU-device mesh
+(tests), or on a v5e-8 slice (BASELINE.json:11).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core as flax_core
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .anchors import generate_anchors
+from .config import HyperParams
+from .data import preprocess_batch
+from .losses import reg_loss, rpn_cls_loss
+from .model import RPNModel, get_model
+from .target import calculate_rpn_actual_outputs
+
+
+class TrainState(struct.PyTreeNode):
+    """Minimal functional train state (params + opt state + BN stats)."""
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt_state,
+            batch_stats=(
+                self.batch_stats if new_batch_stats is None else new_batch_stats
+            ),
+        )
+
+
+def default_optimizer(learning_rate: float = 1e-3) -> optax.GradientTransformation:
+    """SGD with momentum — the canonical Faster R-CNN training recipe."""
+    return optax.sgd(learning_rate, momentum=0.9)
+
+
+def create_train_state(
+    hp: HyperParams,
+    key: jax.Array,
+    tx: Optional[optax.GradientTransformation] = None,
+    model: Optional[RPNModel] = None,
+) -> TrainState:
+    model = model or get_model(hp)
+    variables = model.init(key)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", flax_core.freeze({}))
+    tx = tx or default_optimizer()
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def _has_batch_stats(state: TrainState) -> bool:
+    return bool(jax.tree_util.tree_leaves(state.batch_stats))
+
+
+def make_train_step(
+    hp: HyperParams,
+    model: Optional[RPNModel] = None,
+    mesh: Optional[Mesh] = None,
+    augment: bool = True,
+):
+    """Build the jitted train step.
+
+    step(state, images_u8 (B,H,W,3), gt_boxes (B,M,4), gt_labels (B,M), key)
+      -> (state, metrics dict)
+
+    With ``mesh``, batch args are sharded over the 'data' axis and the state
+    is replicated; XLA emits the ICI all-reduce for gradients automatically.
+    """
+    model = model or get_model(hp)
+    anchors = generate_anchors(hp)
+    variances = jnp.asarray(hp.variances, jnp.float32)
+    del variances  # anchors/hp are closed over; deltas normalized in target fn
+
+    def step_fn(state: TrainState, images_u8, gt_boxes, gt_labels, key):
+        prep_key, target_key = jax.random.split(jax.random.fold_in(key, state.step))
+        images, gt_boxes_aug = preprocess_batch(
+            images_u8, gt_boxes, hp.img_size, augment=augment,
+            key=prep_key if augment else None,
+        )
+        target_deltas, target_labels = calculate_rpn_actual_outputs(
+            anchors, gt_boxes_aug, gt_labels, hp, target_key
+        )
+
+        use_bn = bool(jax.tree_util.tree_leaves(state.batch_stats))
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if use_bn:
+                variables["batch_stats"] = state.batch_stats
+                (rpn_reg, rpn_cls), updates = model.module.apply(
+                    variables, images, train=True, mutable=["batch_stats"]
+                )
+                new_stats = updates["batch_stats"]
+            else:
+                rpn_reg, rpn_cls = model.module.apply(variables, images, train=True)
+                new_stats = state.batch_stats
+            l_reg = reg_loss(target_deltas, rpn_reg)
+            l_cls = rpn_cls_loss(target_labels, rpn_cls)
+            return l_reg + l_cls, (l_reg, l_cls, new_stats)
+
+        (loss, (l_reg, l_cls, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        metrics = {
+            "loss": loss,
+            "reg_loss": l_reg,
+            "cls_loss": l_cls,
+            "num_pos": jnp.sum(target_labels == 1.0),
+        }
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(replicated, batch_sharded, batch_sharded, batch_sharded, replicated),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+
+    def wrapped(state, images_u8, gt_boxes, gt_labels, key):
+        # jax>=0.9 sharding-in-types: scatter/gather lowering needs the mesh
+        # in context while tracing sharded operands
+        with jax.set_mesh(mesh):
+            return jitted(state, images_u8, gt_boxes, gt_labels, key)
+
+    return wrapped
+
+
+def make_data_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D 'data' mesh over the available devices (or the first n).
+
+    Axis type Auto: XLA propagates shardings (GSPMD) — we annotate only jit
+    boundaries, not every op (explicit mode would demand per-op specs).
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.make_mesh(
+        (len(devices),),
+        ("data",),
+        devices=devices,
+        axis_types=(jax.sharding.AxisType.Auto,),
+    )
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place host arrays onto the mesh, sharded over 'data'."""
+    sharding = NamedSharding(mesh, P("data"))
+    out = tuple(jax.device_put(a, sharding) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (e.g. the train state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
