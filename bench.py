@@ -15,10 +15,19 @@ Prints exactly ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compile cache: remote TPU compiles of while-loop-heavy programs
+# are slow (~minutes cold); cached reruns are instant.
+os.makedirs(os.path.expanduser("~/.cache/jax_compilation"), exist_ok=True)
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compilation")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH = 64
 K = 20  # chained steps per timing call
@@ -37,23 +46,27 @@ def main():
     anchors = generate_anchors(hp)
 
     @jax.jit
-    def e2e_many(variables, images):
-        def body(carry, _):
-            imgs = images + carry  # data dependency: no CSE across iterations
-            rpn_reg, rpn_cls = model.module.apply(variables, imgs, train=False)
-            boxes, scores = decode_outputs(anchors, rpn_reg, rpn_cls, hp)
-            out = generate_proposals(boxes, scores, hp, topn=hp.test_nms_topn)
-            return out["roi_scores"].mean() * 1e-6, None
-
-        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
-        return carry
+    def e2e(variables, images, carry):
+        imgs = images + carry  # data dependency chains successive dispatches
+        rpn_reg, rpn_cls = model.module.apply(variables, imgs, train=False)
+        boxes, scores = decode_outputs(anchors, rpn_reg, rpn_cls, hp)
+        out = generate_proposals(boxes, scores, hp, topn=hp.test_nms_topn)
+        return out["roi_scores"].mean() * 1e-6
 
     images = jax.random.uniform(
         jax.random.key(1), (BATCH, hp.img_size, hp.img_size, 3), jnp.float32
     )
-    float(e2e_many(variables, images))  # compile + warm
+
+    def run_chain(k):
+        # async dispatches chained by the carry; one host sync at the end
+        carry = jnp.float32(0.0)
+        for _ in range(k):
+            carry = e2e(variables, images, carry)
+        return float(carry)
+
+    run_chain(2)  # compile + warm
     t0 = time.perf_counter()
-    float(e2e_many(variables, images))  # host pull = hard sync
+    run_chain(K)
     dt = (time.perf_counter() - t0) / K
     throughput = BATCH / dt
     print(

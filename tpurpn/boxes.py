@@ -146,53 +146,200 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _nms_keep_sorted(
+def _nms_keep_sorted_batched(
     boxes_sorted: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold: float,
     block: int,
+    max_output: int,
 ) -> jnp.ndarray:
-    """Greedy-NMS keep mask over score-sorted boxes.
+    """Greedy-NMS keep masks over batched score-sorted boxes: (B,n,4) -> (B,n).
 
-    Exact greedy semantics: a box is kept iff its IoU with every higher-scoring
-    kept box is <= iou_threshold. Processes boxes in blocks: a short sequential
-    loop resolves within-block suppression, then one wide (block x N) IoU sweep
-    suppresses all later boxes — the same structure as the Pallas kernel.
+    Exact greedy semantics (identical selection to tf.image.non_max_suppression):
+    a box is kept iff its IoU with every higher-scoring kept box is
+    <= iou_threshold, and per-image processing stops once max_output boxes
+    are kept.
+
+    TPU-friendly structure — the batch dimension lives INSIDE every op (wide
+    VPU work, no vmap-of-while lane masking), and there is no O(n) sequential
+    loop:
+    * boxes are processed block-by-block in score order;
+    * each block is screened against the per-image **kept-box buffer** (one
+      (B, block, kmax) IoU sweep) — suppression only flows forward, so
+      earlier kept boxes fully determine cross-block suppression;
+    * within-block suppression is resolved by **fixed-point iteration** of
+      m[j] = alive[j] & !any_{i<j}(m[i] & iou[i,j] > thr) — the greedy keep
+      set is this map's unique fixpoint (induction over sorted index), and
+      iteration t settles every box with suppression-chain depth <= t, so it
+      converges in a handful of wide sweeps instead of `block` sequential
+      steps;
+    * the outer while_loop **early-exits** once every image has max_output
+      kept boxes; images that finish early are frozen (no further keeps),
+      exactly TF's stop-at-max_output behavior.
+
+    Work: O(processed_blocks * B * block * (kmax + block)) vs the naive
+    O(B * n^2) — and processed_blocks is small because scores are sorted.
     """
-    n = boxes_sorted.shape[0]
+    B, n, _ = boxes_sorted.shape
     assert n % block == 0, "caller pads to a multiple of block"
     num_blocks = n // block
-    positions = lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    blk_positions = lax.broadcasted_iota(jnp.int32, (block, 1), 0).squeeze(-1)
+    kmax = _round_up(max_output + block, block)
+    tri = (
+        lax.broadcasted_iota(jnp.int32, (block, block), 0)
+        < lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    )  # tri[i, j] = i < j : earlier box i can suppress later box j
+    buf_slot = lax.broadcasted_iota(jnp.int32, (B, kmax), 1)
+    batch_idx = lax.broadcasted_iota(jnp.int32, (B, block), 0)
 
-    def outer(i, keep):
+    def _iou_bmm(a, b):
+        """Batched pairwise IoU: (B, P, 4) x (B, Q, 4) -> (B, P, Q)."""
+        return generate_iou_map(a, b)
+
+    def cond(state):
+        i, kept_count, _, _ = state
+        return (i < num_blocks) & jnp.any(kept_count < max_output)
+
+    def body(state):
+        i, kept_count, keep, buf = state
         start = i * block
-        blk = lax.dynamic_slice(boxes_sorted, (start, 0), (block, 4))
-        keep_blk = lax.dynamic_slice(keep, (start,), (block,))
+        blk = lax.dynamic_slice_in_dim(boxes_sorted, start, block, axis=1)
+        valid_blk = lax.dynamic_slice_in_dim(valid, start, block, axis=1)
+        active_img = kept_count < max_output  # frozen images keep nothing more
 
-        # within-block sequential resolution (short loop, width-`block` vec ops)
-        iou_blk = pairwise_iou(blk, blk)
+        # screen against all previously-kept boxes of each image
+        iou_buf = _iou_bmm(blk, buf)  # (B, block, kmax)
+        buf_active = buf_slot < kept_count[:, None]  # (B, kmax)
+        suppressed = jnp.any(
+            (iou_buf > iou_threshold) & buf_active[:, None, :], axis=2
+        )
+        alive = valid_blk & ~suppressed & active_img[:, None]
 
-        def inner(j, kb):
-            suppress = (iou_blk[j] > iou_threshold) & kb[j] & (blk_positions > j)
-            return kb & ~suppress
+        # within-block greedy via fixpoint iteration (global convergence)
+        over = _iou_bmm(blk, blk) > iou_threshold  # (B, block, block)
+        over_tri = over & tri[None]
 
-        keep_blk = lax.fori_loop(0, block, inner, keep_blk)
+        def fix_cond(c):
+            return c[1]
 
-        # one wide sweep: kept boxes of this block suppress all later boxes
-        iou_cross = pairwise_iou(blk, boxes_sorted)  # (block, n)
-        suppressed = jnp.any((iou_cross > iou_threshold) & keep_blk[:, None], axis=0)
-        later = positions >= (start + block)
-        keep = keep & ~(suppressed & later)
-        keep = lax.dynamic_update_slice(keep, keep_blk, (start,))
-        return keep
+        def fix_body(c):
+            m, _ = c
+            sup = jnp.any(over_tri & m[:, :, None], axis=1)  # (B, block)
+            m_new = alive & ~sup
+            return m_new, jnp.any(m_new != m)
 
-    return lax.fori_loop(0, num_blocks, outer, valid)
+        m, _ = lax.while_loop(fix_cond, fix_body, (alive, True))
+
+        # append each image's kept boxes to its buffer (compacting scatter)
+        pos = kept_count[:, None] + jnp.cumsum(m, axis=1) - 1
+        pos = jnp.where(m, pos, kmax)  # out-of-bounds -> dropped
+        buf = buf.at[batch_idx, pos].set(blk, mode="drop")
+        keep = lax.dynamic_update_slice_in_dim(keep, m, start, axis=1)
+        kept_count = kept_count + jnp.sum(m, axis=1, dtype=jnp.int32)
+        return i + 1, kept_count, keep, buf
+
+    state = (
+        jnp.int32(0),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, n), bool),
+        jnp.zeros((B, kmax, 4), boxes_sorted.dtype),
+    )
+    _, _, keep, _ = lax.while_loop(cond, body, state)
+    return keep
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_output_size", "iou_threshold", "block")
+    jax.jit,
+    static_argnames=(
+        "max_output_size",
+        "iou_threshold",
+        "score_threshold",
+        "block",
+        "presorted",
+        "use_pallas",
+    ),
 )
+def batched_non_max_suppression(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_output_size: int,
+    iou_threshold: float = 0.7,
+    score_threshold: float = float("-inf"),
+    block: int = 128,
+    presorted: bool = False,
+    use_pallas: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched greedy NMS with ``tf.image.non_max_suppression`` semantics.
+
+    Args:
+      boxes: (B, N, 4) [y1, x1, y2, x2].
+      scores: (B, N).
+      max_output_size: static output size k.
+      iou_threshold: boxes with IoU > threshold vs a kept higher-scoring box
+        are suppressed.
+      score_threshold: boxes scoring <= this are dropped up front.
+      block: internal tile size (multiple of 128 for TPU lanes).
+      presorted: set True when boxes/scores are already in descending score
+        order (e.g. straight out of lax.top_k) to skip the internal sort.
+      use_pallas: run the Pallas TPU kernel (tpurpn.kernels.nms_pallas) for
+        the keep-mask computation; None (default) auto-selects it on TPU.
+        Both paths produce identical selections.
+
+    Returns:
+      (indices, num_valid): indices is (B, k) int32 of selected box indices in
+      descending score order, padded with -1 past num_valid (TF's *padded*
+      variant pads with 0; we pad with -1 so padding is unambiguous — gather
+      with ``jnp.maximum(indices, 0)`` for TF-style behavior).
+
+    Reference parity: utils/bbox_utils.non_max_suppression wrapping
+    tf.image.non_max_suppression (BASELINE.json:5).
+    """
+    B, n = scores.shape
+    n_pad = _round_up(max(n, block), block)
+
+    if presorted:
+        order = None
+        boxes_sorted, scores_sorted = boxes, scores
+    else:
+        # stable sort by descending score -> ties broken by lower original
+        # index, matching TF's sort (jax sorts are stable).
+        order = jnp.argsort(-scores, axis=-1)  # (B, n)
+        boxes_sorted = jnp.take_along_axis(boxes, order[..., None], axis=1)
+        scores_sorted = jnp.take_along_axis(scores, order, axis=1)
+    if n_pad > n:
+        boxes_sorted = jnp.pad(boxes_sorted, ((0, 0), (0, n_pad - n), (0, 0)))
+        scores_sorted = jnp.pad(
+            scores_sorted, ((0, 0), (0, n_pad - n)), constant_values=-jnp.inf
+        )
+    valid = scores_sorted > score_threshold
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .kernels.nms_pallas import nms_pallas_keep
+
+        keep, _ = nms_pallas_keep(
+            boxes_sorted, valid, float(iou_threshold), max_output_size, block
+        )
+    else:
+        keep = _nms_keep_sorted_batched(
+            boxes_sorted, valid, float(iou_threshold), block, max_output_size
+        )
+
+    # first `max_output_size` kept boxes per image, in score order: top-k of
+    # (kept first, then by position) — cheaper than a full argsort
+    positions = lax.broadcasted_iota(jnp.int32, (B, n_pad), 1)
+    sort_key = jnp.where(keep, positions, n_pad + positions)
+    _, first_kept = lax.top_k(-sort_key, max_output_size)
+    is_valid_out = jnp.take_along_axis(keep, first_kept, axis=1)
+    safe_kept = jnp.minimum(first_kept, n - 1)
+    unsorted_indices = (
+        safe_kept if order is None else jnp.take_along_axis(order, safe_kept, axis=1)
+    )
+    orig_indices = jnp.where(is_valid_out, unsorted_indices, -1).astype(jnp.int32)
+    num_valid = jnp.sum(is_valid_out, axis=-1).astype(jnp.int32)
+    return orig_indices, num_valid
+
+
 def non_max_suppression(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -201,67 +348,17 @@ def non_max_suppression(
     score_threshold: float = float("-inf"),
     block: int = 128,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy NMS with ``tf.image.non_max_suppression`` selection semantics.
+    """Single-image greedy NMS: (N, 4), (N,) -> ((k,) indices, num_valid).
 
-    Args:
-      boxes: (N, 4) [y1, x1, y2, x2].
-      scores: (N,).
-      max_output_size: static output size k.
-      iou_threshold: boxes with IoU > threshold vs a kept higher-scoring box
-        are suppressed.
-      score_threshold: boxes scoring <= this are dropped up front.
-      block: internal tile size (multiple of 128 for TPU lanes).
-
-    Returns:
-      (indices, num_valid): indices is (k,) int32 of selected box indices in
-      descending score order, padded with -1 past num_valid (TF's *padded*
-      variant pads with 0; we pad with -1 so padding is unambiguous — gather
-      with ``jnp.maximum(indices, 0)`` for TF-style behavior).
-
-    Reference parity: utils/bbox_utils.non_max_suppression wrapping
-    tf.image.non_max_suppression (BASELINE.json:5).
+    Thin wrapper over :func:`batched_non_max_suppression` (see there for
+    semantics and reference parity notes).
     """
-    n = boxes.shape[0]
-    n_pad = _round_up(max(n, block), block)
-
-    # stable sort by descending score -> ties broken by lower original index,
-    # matching TF's sort.
-    order = jnp.argsort(-scores)  # jax sorts are stable
-    boxes_sorted = jnp.zeros((n_pad, 4), boxes.dtype).at[:n].set(boxes[order])
-    scores_sorted = jnp.full((n_pad,), -jnp.inf, scores.dtype).at[:n].set(scores[order])
-    valid = scores_sorted > score_threshold
-
-    keep = _nms_keep_sorted(boxes_sorted, valid, float(iou_threshold), block)
-
-    # first `max_output_size` kept boxes, in score order
-    positions = lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).squeeze(-1)
-    sort_key = jnp.where(keep, positions, n_pad + positions)
-    first_kept = jnp.argsort(sort_key)[:max_output_size]  # sorted positions
-    is_valid_out = keep[first_kept]
-    orig_indices = jnp.where(
-        is_valid_out, order[jnp.minimum(first_kept, n - 1)], -1
-    ).astype(jnp.int32)
-    num_valid = jnp.sum(is_valid_out).astype(jnp.int32)
-    return orig_indices, num_valid
-
-
-def batched_non_max_suppression(
-    boxes: jnp.ndarray,
-    scores: jnp.ndarray,
-    max_output_size: int,
-    iou_threshold: float = 0.7,
-    score_threshold: float = float("-inf"),
-    block: int = 128,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """vmap of :func:`non_max_suppression` over a leading batch axis.
-
-    boxes (B, N, 4), scores (B, N) -> indices (B, k), num_valid (B,).
-    """
-    fn = functools.partial(
-        non_max_suppression,
+    idx, nv = batched_non_max_suppression(
+        boxes[None],
+        scores[None],
         max_output_size=max_output_size,
         iou_threshold=iou_threshold,
         score_threshold=score_threshold,
         block=block,
     )
-    return jax.vmap(fn)(boxes, scores)
+    return idx[0], nv[0]

@@ -78,6 +78,7 @@ def generate_proposals(
         max_output_size=topn,
         iou_threshold=hp.nms_iou_threshold,
         block=nms_block,
+        presorted=True,  # lax.top_k output is already descending
     )
     valid = sel >= 0
     safe_sel = jnp.maximum(sel, 0)
