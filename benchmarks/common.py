@@ -1,0 +1,66 @@
+"""Shared helpers for the BASELINE.json benchmark configs.
+
+Timing methodology: the axon TPU tunnel adds ~25 ms per dispatch and its
+block_until_ready is unreliable, so steps are chained on device — either via
+lax.scan inside one jitted program (pure compute) or via a data-dependent
+carry across dispatches — and synced once by pulling a scalar to the host.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def enable_compile_cache() -> None:
+    path = os.path.expanduser("~/.cache/jax_compilation")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def time_scan_chained(step_to_scalar: Callable, *args, iters: int = 10) -> float:
+    """Time `step_to_scalar(*args, carry)->scalar` chained `iters` times inside
+    one jitted scan. Returns seconds per step."""
+
+    @jax.jit
+    def many(*a):
+        def body(c, _):
+            return step_to_scalar(*a, c), None
+
+        out, _ = lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return out
+
+    float(many(*args))  # compile + warm
+    t0 = time.perf_counter()
+    float(many(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def time_dispatch_chained(step: Callable, *args, iters: int = 10) -> float:
+    """Time `step(*args, carry)->scalar` chained by its carry across separate
+    dispatches (for programs too expensive to compile inside a scan).
+    Returns seconds per step."""
+    carry = jnp.float32(0.0)
+    carry = step(*args, carry)
+    float(carry)  # compile + warm
+    carry = jnp.float32(0.0)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = step(*args, carry)
+    float(carry)
+    return (time.perf_counter() - t0) / iters
+
+
+def emit(metric: str, value: float, unit: str, baseline: float | None = None, **extra):
+    rec = {"metric": metric, "value": round(value, 2), "unit": unit}
+    if baseline:
+        rec["vs_baseline"] = round(value / baseline, 3)
+    rec.update(extra)
+    print(json.dumps(rec))

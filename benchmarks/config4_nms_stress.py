@@ -1,0 +1,64 @@
+"""BASELINE config 4: batched NMS stress — top-2000 -> 300 at batch 32,
+multi-scale anchors. BASELINE.json:10.
+
+    python benchmarks/config4_nms_stress.py
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+from benchmarks.common import emit, enable_compile_cache
+
+import time
+
+
+def main():
+    enable_compile_cache()
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tpurpn import get_hyper_params
+    from tpurpn.anchors import generate_anchors
+    from tpurpn.boxes import batched_non_max_suppression, get_bboxes_from_deltas
+
+    B, PRE, OUT = 32, 2000, 300
+    hp = get_hyper_params("vgg16")
+    anchors = generate_anchors(hp)  # multi-scale 128/256/512 anchor grid
+    rng = np.random.default_rng(0)
+    N = anchors.shape[0]
+    deltas = jnp.asarray(rng.normal(0, 0.5, (B, N, 4)).astype(np.float32))
+    scores = jnp.asarray(rng.uniform(0, 1, (B, N)).astype(np.float32))
+    boxes = get_bboxes_from_deltas(anchors[None], deltas * jnp.asarray(hp.variances))
+
+    @jax.jit
+    def step(boxes, scores, carry):
+        s = scores + carry  # chain dispatches
+        ts, ti = lax.top_k(s, PRE)
+        tb = jnp.take_along_axis(boxes, ti[..., None], axis=1)
+        idx, nv = batched_non_max_suppression(
+            tb, ts, OUT, hp.nms_iou_threshold, presorted=True
+        )
+        return jnp.sum(nv).astype(jnp.float32) * 1e-9
+
+    carry = step(boxes, scores, jnp.float32(0.0))
+    float(carry)
+    iters = 20
+    carry = jnp.float32(0.0)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = step(boxes, scores, carry)
+    float(carry)
+    dt = (time.perf_counter() - t0) / iters
+    emit(
+        "config4_nms_stress_top2000_to_300_batch32",
+        B / dt,
+        "images/sec/chip",
+        ms_per_batch=round(dt * 1e3, 2),
+    )
+
+
+if __name__ == "__main__":
+    main()

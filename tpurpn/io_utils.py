@@ -92,39 +92,56 @@ def load_checkpoint(path: str, like):
 # ---------------------------------------------------------------------------
 
 
-def _h5_layer_weights(h5file) -> Dict[str, list]:
-    """Collect {layer_name: [arrays in stored order]} from a Keras .h5 file."""
-    out: Dict[str, list] = {}
+def _h5_layer_weights(h5file) -> Dict[str, Dict[str, np.ndarray]]:
+    """Collect {layer_name: {param_name: array}} from a legacy Keras .h5 file.
+
+    Legacy (Keras 2 / TF2-era, what the reference's ModelCheckpoint wrote)
+    weight files store datasets at ``model_weights/<layer>/<layer>/kernel:0``
+    etc.; param names are kernel / bias / gamma / beta / moving_mean /
+    moving_variance / depthwise_kernel.
+    """
+    import h5py
+
+    out: Dict[str, Dict[str, np.ndarray]] = {}
 
     def visit(name, obj):
-        import h5py
-
         if isinstance(obj, h5py.Dataset):
-            # names look like model_weights/<layer>/<layer>/kernel:0 (keras2)
             parts = [p for p in name.split("/") if p]
-            if len(parts) >= 2:
-                layer = parts[-2] if parts[-2] != "model_weights" else parts[-1]
-                # prefer the outermost layer-name group
-                for p in parts:
-                    if p not in ("model_weights", "vars"):
-                        layer = p
-                        break
-                out.setdefault(layer, []).append((name, np.asarray(obj)))
+            pname = parts[-1].split(":")[0]
+            layer = None
+            for p in reversed(parts[:-1]):
+                if p not in ("model_weights", "vars"):
+                    layer = p
+                    break
+            if layer is not None:
+                out.setdefault(layer, {})[pname] = np.asarray(obj)
 
     h5file.visititems(visit)
-    return {k: [a for _, a in sorted(v)] for k, v in out.items()}
+    return out
+
+
+# flax param leaf name -> candidate names in a Keras layer dict
+_PARAM_CANDIDATES = {
+    "kernel": ("kernel", "depthwise_kernel"),
+    "bias": ("bias",),  # conv bias; BN beta handled below
+    "scale": ("gamma",),
+    "mean": ("moving_mean",),
+    "var": ("moving_variance",),
+}
 
 
 def load_keras_h5_weights(path: str, params: Any, batch_stats: Any = None):
-    """Map a Keras .h5 weight file onto the flax parameter tree.
+    """Map a legacy Keras .h5 weight file onto the flax parameter tree.
 
     The flax modules are named after their Keras counterparts
-    (block1_conv1 ... rpn_cls), and conv kernels share the HWIO layout, so
-    mapping is name-based with no transposition. Layers present in the tree
-    but absent from the file are left at their current values (and returned
-    in the `missing` list).
+    (block1_conv1 ... rpn_cls; Conv1/block_N_expand... for MobileNetV2), and
+    conv kernels share the HWIO layout, so mapping is name-based with no
+    transposition. Flax depthwise kernels (H, W, 1, C) are reshaped from
+    Keras depthwise layout (H, W, C, 1). Entries present in the tree but
+    absent from the file are left at their current values and returned in
+    ``missing``.
 
-    Returns (new_params, new_batch_stats, missing_layer_names).
+    Returns (new_params, new_batch_stats, missing_entries).
     """
     import h5py
     from flax import traverse_util
@@ -132,38 +149,47 @@ def load_keras_h5_weights(path: str, params: Any, batch_stats: Any = None):
     with h5py.File(path, "r") as f:
         layers = _h5_layer_weights(f)
 
-    flat = dict(traverse_util.flatten_dict(jax.tree_util.tree_map(np.asarray, params)))
-    stats_flat = (
-        dict(traverse_util.flatten_dict(
-            jax.tree_util.tree_map(np.asarray, batch_stats)))
-        if batch_stats is not None
-        else {}
-    )
-    missing = []
-    for key in list(flat):
-        layer_name = key[-2]  # (...path..., layer, 'kernel'|'bias'|'scale')
-        param_name = key[-1]
-        if layer_name not in layers:
-            missing.append("/".join(key))
-            continue
-        arrays = layers[layer_name]
-        want_shape = flat[key].shape
-        matched = [a for a in arrays if a.shape == want_shape]
-        if param_name == "kernel":
-            cand = [a for a in matched if a.ndim == flat[key].ndim]
-        elif param_name == "bias":
-            cand = [a for a in matched if a.ndim == 1]
-        elif param_name == "scale":  # BN gamma is stored first
-            cand = matched[:1]
+    def lookup(layer_name: str, leaf: str, want_shape, is_bn_layer: bool):
+        layer = layers.get(layer_name)
+        if layer is None:
+            return None
+        if leaf == "bias" and is_bn_layer:
+            cands = ("beta",)
         else:
-            cand = matched
-        if not cand:
-            missing.append("/".join(key))
-            continue
-        flat[key] = cand[0].astype(flat[key].dtype)
+            cands = _PARAM_CANDIDATES.get(leaf, (leaf,))
+        for c in cands:
+            if c in layer:
+                arr = layer[c]
+                if arr.shape == tuple(want_shape):
+                    return arr
+                # Keras depthwise (H, W, C, 1) -> flax grouped conv (H, W, 1, C)
+                if (
+                    c == "depthwise_kernel"
+                    and arr.ndim == 4
+                    and arr.shape[-1] == 1
+                    and arr.transpose(0, 1, 3, 2).shape == tuple(want_shape)
+                ):
+                    return arr.transpose(0, 1, 3, 2)
+        return None
 
-    from flax import traverse_util as tu
+    def apply_tree(tree):
+        flat = dict(
+            traverse_util.flatten_dict(jax.tree_util.tree_map(np.asarray, tree))
+        )
+        missing = []
+        for key in list(flat):
+            layer_name, leaf = key[-2], key[-1]
+            is_bn = layer_name in layers and "gamma" in layers.get(layer_name, {})
+            arr = lookup(layer_name, leaf, flat[key].shape, is_bn)
+            if arr is None:
+                missing.append("/".join(key))
+            else:
+                flat[key] = arr.astype(flat[key].dtype)
+        return traverse_util.unflatten_dict(flat), missing
 
-    new_params = tu.unflatten_dict(flat)
-    new_stats = tu.unflatten_dict(stats_flat) if stats_flat else batch_stats
+    new_params, missing = apply_tree(params)
+    new_stats = batch_stats
+    if batch_stats is not None and jax.tree_util.tree_leaves(batch_stats):
+        new_stats, missing_stats = apply_tree(batch_stats)
+        missing += missing_stats
     return new_params, new_stats, missing
