@@ -29,7 +29,7 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BATCH = 64
+BATCH = 128
 K = 20  # chained steps per timing call
 TARGET = 5000.0  # img/s/chip, BASELINE.json:5
 

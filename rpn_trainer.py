@@ -44,6 +44,19 @@ def main(argv=None):
         hp, jax.random.key(args.seed), tx=default_optimizer(args.learning_rate),
         model=model,
     )
+    if args.weights:  # resume from a previous checkpoint
+        import os as _os
+
+        from tpurpn.io_utils import load_checkpoint
+
+        if _os.path.isdir(args.weights):
+            like = {"params": state.params, "batch_stats": state.batch_stats}
+            restored = load_checkpoint(args.weights, like)
+            state = state.replace(
+                params=restored["params"],
+                batch_stats=restored.get("batch_stats", state.batch_stats),
+            )
+            print(f"[tpurpn] resumed weights from {args.weights}")
 
     mesh = None
     if args.data_parallel:

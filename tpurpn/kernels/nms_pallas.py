@@ -38,18 +38,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _nms_kernel(planes_ref, out_ref, *, iou_threshold, max_output, block, n_pad):
+def _nms_kernel(
+    planes_ref, out_ref, supp_scr, *, iou_threshold, max_output, block, n_pad, chunk
+):
     """planes_ref: (1, 8, n_pad) f32 [y1,x1,y2,x2,valid,0,0,0]; out_ref same
     shape: row 0 = keep mask (1/0), row 1 = kept_count broadcast."""
     num_blocks = n_pad // block
 
     out_ref[...] = jnp.zeros_like(out_ref)
-
-    y1r = planes_ref[0, 0:1, :]  # (1, n_pad) row vectors
-    x1r = planes_ref[0, 1:2, :]
-    y2r = planes_ref[0, 2:3, :]
-    x2r = planes_ref[0, 3:4, :]
-    area_r = jnp.maximum(y2r - y1r, 0.0) * jnp.maximum(x2r - x1r, 0.0)
 
     # strictly-lower-triangular mask: lowtri[j, i] = i < j ("earlier i can
     # suppress later j"), used as the MXU matvec operand
@@ -71,16 +67,36 @@ def _nms_kernel(planes_ref, out_ref, *, iou_threshold, max_output, block, n_pad)
         area_c = jnp.maximum(y2c - y1c, 0.0) * jnp.maximum(x2c - x1c, 0.0)
 
         # ---- cross suppression: block vs all previously-kept boxes --------
-        # (block, n_pad) IoU; keep row is zero outside the processed prefix,
-        # so no explicit "earlier" mask is needed.
-        inter_h = jnp.maximum(jnp.minimum(y2c, y2r) - jnp.maximum(y1c, y1r), 0.0)
-        inter_w = jnp.maximum(jnp.minimum(x2c, x2r) - jnp.maximum(x1c, x1r), 0.0)
-        inter = inter_h * inter_w
-        union = jnp.maximum(area_c + area_r - inter, 1e-8)
-        keep_row = out_ref[0, 0:1, :]  # (1, n_pad)
-        hit = jnp.where((inter / union > iou_threshold) & (keep_row > 0.5), 1.0, 0.0)
-        suppressed = jnp.sum(hit, axis=1, keepdims=True) > 0.0  # (block, 1)
-        alive = valid_c & ~suppressed  # (block, 1)
+        # Only the processed prefix [0, start) can hold kept boxes, so sweep
+        # it in lane chunks with a dynamic trip count instead of all n_pad
+        # lanes — O(prefix) per block, O(processed^2 / 2) total.
+        num_chunks = lax.div(start + block + (chunk - 1), chunk)
+        supp_scr[...] = jnp.zeros((block, 1), jnp.float32)
+
+        def chunk_body(c):
+            cs = pl.multiple_of(c * chunk, chunk)
+            y1r = planes_ref[0, 0:1, pl.ds(cs, chunk)]
+            x1r = planes_ref[0, 1:2, pl.ds(cs, chunk)]
+            y2r = planes_ref[0, 2:3, pl.ds(cs, chunk)]
+            x2r = planes_ref[0, 3:4, pl.ds(cs, chunk)]
+            area_r = jnp.maximum(y2r - y1r, 0.0) * jnp.maximum(x2r - x1r, 0.0)
+            inter_h = jnp.maximum(jnp.minimum(y2c, y2r) - jnp.maximum(y1c, y1r), 0.0)
+            inter_w = jnp.maximum(jnp.minimum(x2c, x2r) - jnp.maximum(x1c, x1r), 0.0)
+            inter = inter_h * inter_w  # (block, chunk)
+            union = jnp.maximum(area_c + area_r - inter, 1e-8)
+            keep_row = out_ref[0, 0:1, pl.ds(cs, chunk)]
+            hit = jnp.where(
+                (inter / union > iou_threshold) & (keep_row > 0.5), 1.0, 0.0
+            )
+            # accumulate in VMEM scratch: Mosaic while loops carry scalars
+            # only (vector scf.yield fails to legalize)
+            supp_scr[...] = supp_scr[...] + jnp.sum(hit, axis=1, keepdims=True)
+            return c + 1
+
+        # while (not fori): Mosaic legalizes dynamic-trip-count while loops
+        # but not dynamic-bound scf.for
+        lax.while_loop(lambda c: c < num_chunks, chunk_body, jnp.int32(0))
+        alive = valid_c & (supp_scr[...] == 0.0)  # (block, 1)
 
         # ---- within-block greedy via fixpoint + MXU matvec ----------------
         ih = jnp.maximum(
@@ -126,7 +142,7 @@ def _nms_kernel(planes_ref, out_ref, *, iou_threshold, max_output, block, n_pad)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iou_threshold", "max_output", "block", "interpret"),
+    static_argnames=("iou_threshold", "max_output", "block", "chunk", "interpret"),
 )
 def nms_pallas_keep(
     boxes_sorted: jnp.ndarray,
@@ -134,6 +150,7 @@ def nms_pallas_keep(
     iou_threshold: float,
     max_output: int,
     block: int = 128,
+    chunk: int = 1024,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy-NMS keep mask over batched score-sorted boxes (Pallas kernel).
@@ -151,7 +168,8 @@ def nms_pallas_keep(
         within the final processed block, exactly like the jnp twin).
     """
     B, n, _ = boxes_sorted.shape
-    n_pad = _round_up(max(n, block), block)
+    assert chunk % block == 0, "chunk must be a multiple of block"
+    n_pad = _round_up(max(n, block), chunk)
     if n_pad > n:
         boxes_sorted = jnp.pad(boxes_sorted, ((0, 0), (0, n_pad - n), (0, 0)))
         valid = jnp.pad(valid, ((0, 0), (0, n_pad - n)))
@@ -171,6 +189,7 @@ def nms_pallas_keep(
         max_output=max_output,
         block=block,
         n_pad=n_pad,
+        chunk=chunk,
     )
     out = pl.pallas_call(
         kernel,
@@ -182,6 +201,7 @@ def nms_pallas_keep(
             (1, 8, n_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, 8, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block, 1), jnp.float32)],
         interpret=interpret,
     )(planes)
     keep = out[:, 0, :n] > 0.5

@@ -51,12 +51,30 @@ def random_select_mask(
     return mask & (ranks < limit)
 
 
+def iou_matching(
+    anchors: jnp.ndarray, gt_boxes: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense IoU matching reductions (pure-jnp twin of the Pallas kernel).
+
+    Returns (merged_iou (B,N), best_gt_per_anchor (B,N), best_anchor_per_gt
+    (B,M)). The Pallas version (kernels/target_pallas.fused_iou_matching)
+    computes the same without materializing the (B, N, M) IoU tensor.
+    """
+    iou_map = generate_iou_map(anchors[None], gt_boxes)  # (B, N, M)
+    return (
+        jnp.max(iou_map, axis=2),
+        jnp.argmax(iou_map, axis=2),
+        jnp.argmax(iou_map, axis=1),
+    )
+
+
 def calculate_rpn_actual_outputs(
     anchors: jnp.ndarray,
     gt_boxes: jnp.ndarray,
     gt_labels: jnp.ndarray,
     hp: HyperParams,
     key: jax.Array,
+    use_pallas: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Compute dense RPN regression + objectness targets for a batch.
 
@@ -80,11 +98,18 @@ def calculate_rpn_actual_outputs(
 
     pos_key, neg_key = jax.random.split(key)
 
-    iou_map = generate_iou_map(anchors[None], gt_boxes)  # (B, N, M)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .kernels.target_pallas import fused_iou_matching
 
-    best_gt_per_anchor = jnp.argmax(iou_map, axis=2)  # (B, N)
-    best_anchor_per_gt = jnp.argmax(iou_map, axis=1)  # (B, M)
-    merged_iou = jnp.max(iou_map, axis=2)  # (B, N)
+        merged_iou, best_gt_per_anchor, best_anchor_per_gt = fused_iou_matching(
+            anchors, gt_boxes
+        )
+    else:
+        merged_iou, best_gt_per_anchor, best_anchor_per_gt = iou_matching(
+            anchors, gt_boxes
+        )
 
     pos_mask = merged_iou > hp.pos_threshold
 

@@ -164,6 +164,34 @@ def make_train_step(
     return wrapped
 
 
+def get_step_size(total_items: int, batch_size: int) -> int:
+    """Mirror of the reference's ``train_utils.get_step_size`` (ceil division)."""
+    return -(-total_items // batch_size)
+
+
+def rpn_generator(dataset, anchors, hp: HyperParams, key: jax.Array, *,
+                  batch_size: int = 8, augment: bool = True):
+    """API-parity port of the reference's ``train_utils.rpn_generator``.
+
+    Infinite generator yielding ``(images, (bbox_deltas, bbox_labels))``
+    batches — the exact structure the reference feeds to Keras ``model.fit``.
+    Provided for users migrating from the reference; the native train path
+    (make_train_step) fuses this work into the jitted step instead, which is
+    both faster (no host round-trip) and exercised by all benchmarks.
+    """
+    from .data import preprocess_batch  # local import to avoid cycle
+
+    targets = jax.jit(functools.partial(calculate_rpn_actual_outputs, hp=hp))
+    for raw_imgs, gt_boxes, gt_labels in dataset.batches(batch_size, repeat=True):
+        key, k1, k2 = jax.random.split(key, 3)
+        images, boxes = preprocess_batch(
+            jnp.asarray(raw_imgs), jnp.asarray(gt_boxes), hp.img_size,
+            augment=augment, key=k1 if augment else None,
+        )
+        deltas, labels = targets(anchors, boxes, jnp.asarray(gt_labels), key=k2)
+        yield images, (deltas, labels)
+
+
 def make_data_mesh(n_devices: Optional[int] = None) -> Mesh:
     """1-D 'data' mesh over the available devices (or the first n).
 
