@@ -53,6 +53,16 @@ def is_valid_backbone(backbone: str) -> bool:
     return backbone in VALID_BACKBONES
 
 
+def handle_device_compatibility() -> None:
+    """Parity shim for the reference's ``handle_gpu_compatibility()``.
+
+    The reference sets CUDA memory growth; JAX on TPU needs no equivalent
+    (device memory is managed by the runtime), so this logs the device set
+    and returns.
+    """
+    print(f"[tpurpn] devices: {jax.devices()}")
+
+
 def get_model_path(backbone: str, output_dir: str = "trained") -> str:
     """Checkpoint directory path (reference: trained/rpn_<backbone>_model_weights.h5)."""
     os.makedirs(output_dir, exist_ok=True)
