@@ -38,7 +38,7 @@ def main():
     from tpurpn import get_hyper_params
     from tpurpn.anchors import generate_anchors
     from tpurpn.model import get_model, init_model
-    from tpurpn.predict import decode_outputs, generate_proposals
+    from tpurpn.predict import decode_outputs_planes, generate_proposals_planes
 
     hp = get_hyper_params("mobilenet_v2")
     model = get_model(hp)
@@ -49,8 +49,8 @@ def main():
     def e2e(variables, images, carry):
         imgs = images + carry  # data dependency chains successive dispatches
         rpn_reg, rpn_cls = model.module.apply(variables, imgs, train=False)
-        boxes, scores = decode_outputs(anchors, rpn_reg, rpn_cls, hp)
-        out = generate_proposals(boxes, scores, hp, topn=hp.test_nms_topn)
+        planes, scores = decode_outputs_planes(anchors, rpn_reg, rpn_cls, hp)
+        out = generate_proposals_planes(planes, scores, hp, topn=hp.test_nms_topn)
         return out["roi_scores"].mean() * 1e-6
 
     images = jax.random.uniform(

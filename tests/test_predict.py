@@ -119,3 +119,35 @@ def test_proposal_recall_iou_threshold(hp):
     r_hi = proposal_recall(props, nv, gt, labels, iou_threshold=0.5)
     assert float(r_lo["recall"]) == 1.0
     assert float(r_hi["recall"]) == 0.0
+
+
+def test_plane_path_matches_reference_path(hp, rng):
+    """The TPU plane-layout fast path selects identical proposals (kernel in
+    interpret mode on CPU)."""
+    from tpurpn.predict import decode_outputs_planes, generate_proposals_planes
+
+    anchors = generate_anchors(hp)
+    fm, A = hp.feature_map_shape, hp.anchor_count
+    reg = jnp.asarray(rng.normal(0, 0.5, (2, fm, fm, A * 4)).astype(np.float32))
+    cls = jnp.asarray(rng.normal(0, 1, (2, fm, fm, A)).astype(np.float32))
+
+    from tpurpn.predict import decode_outputs
+
+    boxes, scores = decode_outputs(anchors, reg, cls, hp)
+    ref = generate_proposals(boxes, scores, hp, topn=50)
+
+    planes, scores_p = decode_outputs_planes(anchors, reg, cls, hp)
+    np.testing.assert_allclose(
+        np.asarray(planes), np.asarray(jnp.moveaxis(boxes, -1, 1)), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(scores_p), np.asarray(scores), atol=1e-7)
+    got = generate_proposals_planes(planes, scores_p, hp, topn=50, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(ref["num_valid"]), np.asarray(got["num_valid"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["roi_boxes"]), np.asarray(got["roi_boxes"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["roi_scores"]), np.asarray(got["roi_scores"]), atol=1e-6
+    )

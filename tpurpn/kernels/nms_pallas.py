@@ -144,8 +144,8 @@ def _nms_kernel(
     jax.jit,
     static_argnames=("iou_threshold", "max_output", "block", "chunk", "interpret"),
 )
-def nms_pallas_keep(
-    boxes_sorted: jnp.ndarray,
+def nms_pallas_keep_planes(
+    box_planes: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold: float,
     max_output: int,
@@ -153,30 +153,22 @@ def nms_pallas_keep(
     chunk: int = 1024,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy-NMS keep mask over batched score-sorted boxes (Pallas kernel).
+    """Plane-layout variant: box_planes is (B, 4, n) [y1;x1;y2;x2 rows].
 
-    Args:
-      boxes_sorted: (B, n, 4) [y1,x1,y2,x2], descending score order.
-      valid: (B, n) bool.
-      iou_threshold / max_output: greedy-NMS parameters (TF semantics).
-      block: box block size (multiple of 128).
-      interpret: run in the Pallas interpreter (CPU testing).
-
-    Returns:
-      keep: (B, n) bool — same mask as tpurpn.boxes._nms_keep_sorted_batched.
-      kept_count: (B,) int32 — kept boxes per image (may overshoot max_output
-        within the final processed block, exactly like the jnp twin).
+    The lane-major layout the kernel uses natively — callers that already
+    hold planes (the optimized predict path, where gathers run along lanes)
+    skip a (B, n, 4) round-trip entirely.
     """
-    B, n, _ = boxes_sorted.shape
+    B, _, n = box_planes.shape
     assert chunk % block == 0, "chunk must be a multiple of block"
     n_pad = _round_up(max(n, block), chunk)
     if n_pad > n:
-        boxes_sorted = jnp.pad(boxes_sorted, ((0, 0), (0, n_pad - n), (0, 0)))
+        box_planes = jnp.pad(box_planes, ((0, 0), (0, 0), (0, n_pad - n)))
         valid = jnp.pad(valid, ((0, 0), (0, n_pad - n)))
 
     planes = jnp.concatenate(
         [
-            jnp.moveaxis(boxes_sorted, -1, 1),  # (B, 4, n_pad)
+            box_planes.astype(jnp.float32),
             valid[:, None, :].astype(jnp.float32),
             jnp.zeros((B, 3, n_pad), jnp.float32),
         ],
@@ -207,3 +199,37 @@ def nms_pallas_keep(
     keep = out[:, 0, :n] > 0.5
     kept_count = out[:, 1, 0].astype(jnp.int32)
     return keep, kept_count
+
+
+def nms_pallas_keep(
+    boxes_sorted: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    max_output: int,
+    block: int = 128,
+    chunk: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy-NMS keep mask over batched score-sorted boxes (Pallas kernel).
+
+    Args:
+      boxes_sorted: (B, n, 4) [y1,x1,y2,x2], descending score order.
+      valid: (B, n) bool.
+      iou_threshold / max_output: greedy-NMS parameters (TF semantics).
+      block: box block size (multiple of 128).
+      interpret: run in the Pallas interpreter (CPU testing).
+
+    Returns:
+      keep: (B, n) bool — same mask as tpurpn.boxes._nms_keep_sorted_batched.
+      kept_count: (B,) int32 — kept boxes per image (may overshoot max_output
+        within the final processed block, exactly like the jnp twin).
+    """
+    return nms_pallas_keep_planes(
+        jnp.moveaxis(boxes_sorted, -1, 1),
+        valid,
+        iou_threshold,
+        max_output,
+        block=block,
+        chunk=chunk,
+        interpret=interpret,
+    )

@@ -90,19 +90,94 @@ def generate_proposals(
     return {"roi_boxes": roi_boxes, "roi_scores": roi_scores, "num_valid": num_valid}
 
 
+def decode_outputs_planes(
+    anchors: jnp.ndarray,
+    rpn_reg: jnp.ndarray,
+    rpn_cls_logits: jnp.ndarray,
+    hp: HyperParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode head outputs into lane-major box planes: ((B, 4, N), (B, N)).
+
+    Same math as :func:`decode_outputs`, but each coordinate is produced as a
+    (B, N) plane — the layout where the subsequent top-k gather and the
+    Pallas NMS kernel run along the 128-lane axis (a (B, N, 4) array wastes
+    124/128 lanes per tile and makes the box gather ~5x slower on TPU).
+    """
+    B = rpn_reg.shape[0]
+    deltas = rpn_reg.reshape(B, -1, 4) * jnp.asarray(hp.variances, jnp.float32)
+    scores = jax.nn.sigmoid(rpn_cls_logits.reshape(B, -1))
+    a_h = anchors[:, 2] - anchors[:, 0]
+    a_w = anchors[:, 3] - anchors[:, 1]
+    a_cy = anchors[:, 0] + 0.5 * a_h
+    a_cx = anchors[:, 1] + 0.5 * a_w
+    h = jnp.exp(deltas[..., 2]) * a_h
+    w = jnp.exp(deltas[..., 3]) * a_w
+    cy = deltas[..., 0] * a_h + a_cy
+    cx = deltas[..., 1] * a_w + a_cx
+    planes = jnp.stack(
+        [cy - 0.5 * h, cx - 0.5 * w, cy + 0.5 * h, cx + 0.5 * w], axis=1
+    )  # (B, 4, N)
+    return planes, scores
+
+
+def generate_proposals_planes(
+    box_planes: jnp.ndarray,
+    scores: jnp.ndarray,
+    hp: HyperParams,
+    topn: int,
+    block: int = 128,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """TPU fast path of :func:`generate_proposals` on plane-layout boxes.
+
+    Identical selection semantics; every gather runs along lanes and the
+    Pallas NMS kernel consumes the planes directly.
+    """
+    from .kernels.nms_pallas import nms_pallas_keep_planes
+
+    B, _, N = box_planes.shape
+    pre = min(hp.pre_nms_topn, N)
+    top_scores, top_idx = lax.top_k(scores, pre)
+    tplanes = jnp.take_along_axis(box_planes, top_idx[:, None, :], axis=2)
+
+    valid = jnp.isfinite(top_scores)
+    keep, _ = nms_pallas_keep_planes(
+        tplanes, valid, float(hp.nms_iou_threshold), topn, block=block,
+        interpret=interpret,
+    )
+
+    positions = lax.broadcasted_iota(jnp.int32, (B, pre), 1)
+    sort_key = jnp.where(keep, positions, pre + positions)
+    _, first_kept = lax.top_k(-sort_key, topn)
+    is_valid = jnp.take_along_axis(keep, first_kept, axis=1)
+    roi_planes = jnp.take_along_axis(tplanes, first_kept[:, None, :], axis=2)
+    roi_scores = jnp.take_along_axis(top_scores, first_kept, axis=1)
+    roi_boxes = jnp.moveaxis(
+        jnp.where(is_valid[:, None, :], roi_planes, 0.0), 1, -1
+    )  # (B, topn, 4) — tiny transpose
+    roi_scores = jnp.where(is_valid, roi_scores, 0.0)
+    num_valid = jnp.sum(is_valid, axis=-1).astype(jnp.int32)
+    return {"roi_boxes": roi_boxes, "roi_scores": roi_scores, "num_valid": num_valid}
+
+
 def make_predict_fn(model, hp: HyperParams, topn: int | None = None):
     """Build the full jitted inference step: images -> proposals.
 
     Mirrors the reference predictor's per-batch flow
     (model.predict_on_batch -> reshape -> decode -> NMS) as ONE compiled
-    program — forward, decode, top-k and NMS all stay on device.
+    program — forward, decode, top-k and NMS all stay on device. On TPU the
+    plane-layout fast path is used (same selection, faster gathers).
     """
     anchors = generate_anchors(hp)
     out_topn = hp.test_nms_topn if topn is None else topn
+    use_planes = jax.default_backend() == "tpu"
 
     @jax.jit
     def predict(variables, images):
         rpn_reg, rpn_cls_logits = model.module.apply(variables, images, train=False)
+        if use_planes:
+            planes, scores = decode_outputs_planes(anchors, rpn_reg, rpn_cls_logits, hp)
+            return generate_proposals_planes(planes, scores, hp, topn=out_topn)
         boxes, scores = decode_outputs(anchors, rpn_reg, rpn_cls_logits, hp)
         return generate_proposals(boxes, scores, hp, topn=out_topn)
 
