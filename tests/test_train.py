@@ -113,3 +113,45 @@ def test_mesh_train_step_multiple_steps_finite():
     for i in range(3):
         state, metrics = step(state, *sh, jax.random.key(i))
         assert np.isfinite(float(metrics["loss"]))
+
+
+def test_get_step_size():
+    from tpurpn.train import get_step_size
+
+    assert get_step_size(100, 8) == 13
+    assert get_step_size(96, 8) == 12
+    assert get_step_size(1, 8) == 1
+
+
+def test_rpn_generator_parity_api():
+    """The reference-compatible generator yields (img, (deltas, labels))."""
+    from tpurpn.anchors import generate_anchors
+    from tpurpn.data import SyntheticVOC
+    from tpurpn.train import rpn_generator
+
+    hp = tiny_hp()
+    anchors = generate_anchors(hp)
+    ds = SyntheticVOC(num_samples=8, raw_h=72, raw_w=96)
+    gen = rpn_generator(ds, anchors, hp, jax.random.key(0), batch_size=4)
+    images, (deltas, labels) = next(gen)
+    fm, A = hp.feature_map_shape, hp.anchor_count
+    assert images.shape == (4, hp.img_size, hp.img_size, 3)
+    assert deltas.shape == (4, fm, fm, A * 4)
+    assert labels.shape == (4, fm, fm, A)
+    flat = np.asarray(labels).reshape(-1)
+    assert set(np.unique(flat)).issubset({-1.0, 0.0, 1.0})
+    # infinite generator: next batch also works
+    images2, _ = next(gen)
+    assert images2.shape == images.shape
+
+
+def test_step_timer():
+    from tpurpn.profiling import StepTimer
+
+    @jax.jit
+    def step(c):
+        return c + 1.0
+
+    timer = StepTimer(step, jnp.float32(0.0))
+    dt = timer.run(iters=5)
+    assert dt >= 0.0
