@@ -48,6 +48,13 @@ def main(argv=None):
     else:
         print(f"[tpurpn] WARNING: no weights at {weights}; using random init")
 
+    # fold BatchNorms into conv weights for inference (same math, faster)
+    if "batch_stats" in variables and jax.tree_util.tree_leaves(
+        variables.get("batch_stats", {})
+    ):
+        from tpurpn.model import fold_batch_norm
+
+        model, variables = fold_batch_norm(hp, variables)
     predict = make_predict_fn(model, hp)
     ds = get_dataset(args.dataset, "test", max_boxes=hp.max_gt_boxes)
 

@@ -109,3 +109,34 @@ def test_forward_is_deterministic():
     b = model.apply(variables, imgs)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_fold_batch_norm_inference_equivalence():
+    from tpurpn.model import fold_batch_norm
+
+    hp = get_hyper_params("mobilenet_v2", img_size=64, compute_dtype="float32")
+    model = get_model(hp)
+    variables = init_model(model, jax.random.key(0))
+    # make BN stats non-trivial (fresh init has mean 0 / var 1)
+    imgs = jax.random.uniform(jax.random.key(1), (4, 64, 64, 3))
+    _, updates = model.apply(variables, imgs, train=True, mutable=["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": updates["batch_stats"]}
+
+    ref_reg, ref_cls = model.apply(variables, imgs, train=False)
+    folded_model, folded_vars = fold_batch_norm(hp, variables)
+    got_reg, got_cls = folded_model.apply(folded_vars, imgs, train=False)
+    np.testing.assert_allclose(np.asarray(ref_reg), np.asarray(got_reg), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ref_cls), np.asarray(got_cls), atol=2e-4)
+
+
+def test_fold_batch_norm_vgg_passthrough():
+    from tpurpn.model import fold_batch_norm
+
+    hp = get_hyper_params("vgg16", img_size=64, compute_dtype="float32")
+    model = get_model(hp)
+    variables = init_model(model, jax.random.key(0))
+    folded_model, folded_vars = fold_batch_norm(hp, variables)
+    imgs = jax.random.uniform(jax.random.key(1), (2, 64, 64, 3))
+    a = model.apply(variables, imgs)
+    b = folded_model.apply(folded_vars, imgs)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))

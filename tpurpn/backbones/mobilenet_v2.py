@@ -46,7 +46,12 @@ _STAGES = (
 
 
 class _InvertedResidual(nn.Module):
-    """One MobileNetV2 bottleneck: [1x1 expand] -> 3x3 dw -> 1x1 project."""
+    """One MobileNetV2 bottleneck: [1x1 expand] -> 3x3 dw -> 1x1 project.
+
+    With ``fold_bn=True`` the BatchNorms are folded into conv biases
+    (inference-only variant; see model.fold_batch_norm for the param
+    transformation).
+    """
 
     expansion: int
     out_ch: int
@@ -54,10 +59,13 @@ class _InvertedResidual(nn.Module):
     block_name: str  # e.g. "block_3" or "expanded_conv"
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        conv_kw = dict(use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype)
+        conv_kw = dict(
+            use_bias=self.fold_bn, dtype=self.dtype, param_dtype=self.param_dtype
+        )
         bn_kw = dict(
             use_running_average=not train,
             epsilon=1e-3,
@@ -69,10 +77,13 @@ class _InvertedResidual(nn.Module):
         in_ch = x.shape[-1]
         residual = x
 
+        def maybe_bn(h, name):
+            return h if self.fold_bn else nn.BatchNorm(name=name, **bn_kw)(h)
+
         h = x
         if self.expansion != 1:
             h = nn.Conv(in_ch * self.expansion, (1, 1), name=f"{nm}_expand", **conv_kw)(h)
-            h = nn.BatchNorm(name=f"{nm}_expand_BN", **bn_kw)(h)
+            h = maybe_bn(h, f"{nm}_expand_BN")
             h = relu6(h)
         h = nn.Conv(
             h.shape[-1],
@@ -83,24 +94,32 @@ class _InvertedResidual(nn.Module):
             name=f"{nm}_depthwise",
             **conv_kw,
         )(h)
-        h = nn.BatchNorm(name=f"{nm}_depthwise_BN", **bn_kw)(h)
+        h = maybe_bn(h, f"{nm}_depthwise_BN")
         h = relu6(h)
         h = nn.Conv(self.out_ch, (1, 1), name=f"{nm}_project", **conv_kw)(h)
-        h = nn.BatchNorm(name=f"{nm}_project_BN", **bn_kw)(h)
+        h = maybe_bn(h, f"{nm}_project_BN")
         if self.stride == 1 and in_ch == self.out_ch:
             h = h + residual
         return h
 
 
 class MobileNetV2Backbone(nn.Module):
-    """Outputs block_13_expand_relu features: (B, ceil(H/16), ceil(W/16), 576)."""
+    """Outputs block_13_expand_relu features: (B, ceil(H/16), ceil(W/16), 576).
+
+    ``fold_bn=True`` builds the inference-only BN-folded variant (convs carry
+    biases, no BatchNorm modules); use model.fold_batch_norm to convert
+    trained variables.
+    """
 
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        conv_kw = dict(use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype)
+        conv_kw = dict(
+            use_bias=self.fold_bn, dtype=self.dtype, param_dtype=self.param_dtype
+        )
         bn_kw = dict(
             use_running_average=not train,
             epsilon=1e-3,
@@ -110,7 +129,8 @@ class MobileNetV2Backbone(nn.Module):
         )
         x = x.astype(self.dtype)
         x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME", name="Conv1", **conv_kw)(x)
-        x = nn.BatchNorm(name="bn_Conv1", **bn_kw)(x)
+        if not self.fold_bn:
+            x = nn.BatchNorm(name="bn_Conv1", **bn_kw)(x)
         x = relu6(x)
 
         block_id = 0
@@ -124,11 +144,13 @@ class MobileNetV2Backbone(nn.Module):
                     block_name=name,
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
+                    fold_bn=self.fold_bn,
                     name=name,
                 )(x, train=train)
                 block_id += 1
 
         # block_13 expansion only (96 * 6 = 576 channels), stride-16 tap
         x = nn.Conv(576, (1, 1), name="block_13_expand", **conv_kw)(x)
-        x = nn.BatchNorm(name="block_13_expand_BN", **bn_kw)(x)
+        if not self.fold_bn:
+            x = nn.BatchNorm(name="block_13_expand_BN", **bn_kw)(x)
         return relu6(x)

@@ -32,6 +32,7 @@ class RPN(nn.Module):
     """Flax module: image batch -> (rpn_reg, rpn_cls_logits)."""
 
     hp: HyperParams
+    fold_bn: bool = False  # inference-only BN-folded variant
 
     @nn.compact
     def __call__(
@@ -46,7 +47,10 @@ class RPN(nn.Module):
             )
         elif hp.backbone == "mobilenet_v2":
             backbone = MobileNetV2Backbone(
-                dtype=dtype, param_dtype=param_dtype, name="backbone"
+                dtype=dtype,
+                param_dtype=param_dtype,
+                fold_bn=self.fold_bn,
+                name="backbone",
             )
         else:  # pragma: no cover - config validates earlier
             raise ValueError(f"unknown backbone {hp.backbone!r}")
@@ -98,3 +102,60 @@ def init_model(model: RPNModel, key: jax.Array | None = None):
     if key is None:
         key = jax.random.key(0)
     return model.init(key)
+
+
+def fold_batch_norm(hp: HyperParams, variables):
+    """Fold BatchNorms into conv weights/biases for inference.
+
+    Standard inference optimization (absent in the reference, which pays the
+    BN elementwise passes every predict): with frozen statistics,
+    BN(conv(x)) == conv'(x) where kernel' = kernel * g and bias' = beta -
+    mean * g, g = gamma / sqrt(var + eps). Removes ~34 elementwise passes
+    over large activations from the MobileNetV2 forward.
+
+    Returns (folded_model, folded_variables) for an RPN(fold_bn=True) module;
+    VGG16 has no BN and is returned as-is (minus batch_stats).
+    """
+    import numpy as np
+
+    model = RPNModel(hp=hp, module=RPN(hp=hp, fold_bn=True))
+    if hp.backbone != "mobilenet_v2":
+        return model, {"params": variables["params"]}
+
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])  # copy
+    stats = variables["batch_stats"]
+    eps = 1e-3
+
+    def fold_into(conv_params, bn_params, bn_stats):
+        g = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + eps)
+        out = {"kernel": conv_params["kernel"] * g}
+        bias = bn_params["bias"] - bn_stats["mean"] * g
+        if "bias" in conv_params:
+            bias = bias + conv_params["bias"] * g
+        out["bias"] = bias
+        return out
+
+    bb, sbb = dict(params["backbone"]), stats["backbone"]
+    new_bb = {}
+    for name, sub in bb.items():
+        if name.endswith("_BN") or name == "bn_Conv1":
+            continue  # consumed by its conv
+        if name == "Conv1":
+            new_bb[name] = fold_into(sub, bb["bn_Conv1"], sbb["bn_Conv1"])
+        elif name == "block_13_expand":
+            new_bb[name] = fold_into(
+                sub, bb["block_13_expand_BN"], sbb["block_13_expand_BN"]
+            )
+        elif isinstance(sub, dict) and any(k.endswith("_BN") for k in sub):
+            blk = {}
+            for k, conv in sub.items():
+                if k.endswith("_BN"):
+                    continue
+                blk[k] = fold_into(conv, sub[f"{k}_BN"], sbb[name][f"{k}_BN"])
+            new_bb[name] = blk
+        else:
+            new_bb[name] = sub
+
+    new_params = {k: v for k, v in params.items() if k != "backbone"}
+    new_params["backbone"] = new_bb
+    return model, {"params": new_params}
