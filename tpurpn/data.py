@@ -122,21 +122,51 @@ class SyntheticVOC:
         return img, boxes, labels
 
     def batches(
-        self, batch_size: int, *, repeat: bool = False, drop_remainder: bool = True
+        self,
+        batch_size: int,
+        *,
+        repeat: bool = False,
+        drop_remainder: bool = True,
+        native: Optional[bool] = None,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """Yield (images u8 (B,H,W,3), boxes (B,M,4), labels (B,M)) batches."""
+        """Yield (images u8 (B,H,W,3), boxes (B,M,4), labels (B,M)) batches.
+
+        ``native`` selects the C++ OpenMP generator (tpurpn.native) — ~50x the
+        single-thread Python rate, needed to feed multi-k-img/s training.
+        None = auto (native when this is a SyntheticVOC and the loader
+        builds). Native batches use the loader's own RNG: deterministic per
+        (seed, index) but different values than the Python sampler.
+        """
+        use_native = False
+        if native is not False and type(self) is SyntheticVOC:
+            from . import native as native_mod
+
+            use_native = native_mod.available() if native is None else True
         epoch = 0
         while True:
             for start in range(0, self.num_samples, batch_size):
                 idxs = range(start, min(start + batch_size, self.num_samples))
                 if drop_remainder and len(idxs) < batch_size:
                     continue
-                samples = [self.sample(i) for i in idxs]
-                yield (
-                    np.stack([s[0] for s in samples]),
-                    np.stack([s[1] for s in samples]),
-                    np.stack([s[2] for s in samples]),
-                )
+                if use_native:
+                    from . import native as native_mod
+
+                    yield native_mod.generate_batch(
+                        self.seed,
+                        np.asarray(idxs, np.int64),
+                        self.raw_h,
+                        self.raw_w,
+                        self.max_boxes,
+                        self.min_boxes,
+                        len(VOC_CLASSES),
+                    )
+                else:
+                    samples = [self.sample(i) for i in idxs]
+                    yield (
+                        np.stack([s[0] for s in samples]),
+                        np.stack([s[1] for s in samples]),
+                        np.stack([s[2] for s in samples]),
+                    )
             epoch += 1
             if not repeat:
                 return
@@ -211,6 +241,40 @@ def load_voc_directory(
     with open(split_file) as f:
         ids = [line.split()[0] for line in f if line.strip()]
     return VOCDirectory(root=root, split_ids=ids, max_boxes=max_boxes)
+
+
+class Prefetcher:
+    """Background-thread batch prefetcher (depth-bounded queue).
+
+    Overlaps host batch generation with device compute — the role of the
+    reference's tf.data pipeline threading. Wraps any batch iterator.
+    """
+
+    def __init__(self, iterator: Iterator, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+
+        def worker():
+            try:
+                for item in iterator:
+                    self._q.put(item)
+            finally:
+                self._q.put(self._done)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item
 
 
 def get_dataset(

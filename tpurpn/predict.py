@@ -137,8 +137,17 @@ def generate_proposals_planes(
 
     B, _, N = box_planes.shape
     pre = min(hp.pre_nms_topn, N)
-    top_scores, top_idx = lax.top_k(scores, pre)
-    tplanes = jnp.take_along_axis(box_planes, top_idx[:, None, :], axis=2)
+    # one variadic sort carries the box planes through the sort network —
+    # ~2x faster than lax.top_k + a (B, 4, N) gather on TPU. Stable sort on
+    # the negated score = descending with lower-index tie-break (TF order).
+    sorted_ops = lax.sort(
+        (-scores, box_planes[:, 0], box_planes[:, 1], box_planes[:, 2],
+         box_planes[:, 3]),
+        dimension=1,
+        num_keys=1,
+    )
+    top_scores = -sorted_ops[0][:, :pre]
+    tplanes = jnp.stack([p[:, :pre] for p in sorted_ops[1:]], axis=1)
 
     valid = jnp.isfinite(top_scores)
     keep, _ = nms_pallas_keep_planes(
