@@ -10,7 +10,9 @@ from tpurpn.model import fold_batch_norm, get_model, init_model
 from tpurpn.inference import mobilenet_v2_fused_forward
 from tpurpn.kernels.mbconv_pallas import (
     fused_mbconv_planes,
+    nhwc_to_padded_planes,
     nhwc_to_planes,
+    padded_planes_to_nhwc,
     planes_to_nhwc,
 )
 
@@ -20,6 +22,11 @@ def test_plane_roundtrip(rng):
     p = nhwc_to_planes(x)
     assert p.shape == (2, 3, 35)
     np.testing.assert_array_equal(np.asarray(planes_to_nhwc(p, 5, 7)), np.asarray(x))
+    pp = nhwc_to_padded_planes(x)
+    assert pp.shape == (2, 3, 7 * 9)
+    np.testing.assert_array_equal(
+        np.asarray(padded_planes_to_nhwc(pp, 5, 7)), np.asarray(x)
+    )
 
 
 def _ref_mbconv(x, w1, b1, k, b2, w2, b3, residual):
@@ -52,9 +59,9 @@ def test_fused_mbconv_matches_reference(rng, H, W, Cin, t, residual):
     b3 = jnp.asarray(rng.normal(0, 0.1, (Cout,)).astype(np.float32))
 
     ref = _ref_mbconv(x, w1, b1, k, b2, w2, b3, residual)
-    got = planes_to_nhwc(
+    got = padded_planes_to_nhwc(
         fused_mbconv_planes(
-            nhwc_to_planes(x), w1, b1, k, b2, w2, b3, H=H, W=W,
+            nhwc_to_padded_planes(x), w1, b1, k, b2, w2, b3, H=H, W=W,
             residual=residual, dtype=jnp.float32, interpret=True,
         ),
         H, W,

@@ -28,8 +28,8 @@ from jax import lax
 from .config import HyperParams
 from .kernels.mbconv_pallas import (
     fused_mbconv_planes,
-    nhwc_to_planes,
-    planes_to_nhwc,
+    nhwc_to_padded_planes,
+    padded_planes_to_nhwc,
 )
 
 
@@ -78,8 +78,8 @@ def _fused_args(bp, name):
 
 
 def _fused_segment(bb, x, block_ids, H, W, dtype, interpret):
-    """Run consecutive stride-1 blocks fused, in plane layout."""
-    planes = nhwc_to_planes(x)
+    """Run consecutive stride-1 blocks fused, in border-padded plane layout."""
+    planes = nhwc_to_padded_planes(x)
     for bid, residual in block_ids:
         name = f"block_{bid}"
         w1, b1, k, b2, w2, b3 = _fused_args(bb[name], name)
@@ -87,7 +87,7 @@ def _fused_segment(bb, x, block_ids, H, W, dtype, interpret):
             planes, w1, b1, k, b2, w2, b3, H=H, W=W, residual=residual,
             dtype=dtype, interpret=interpret,
         )
-    return planes_to_nhwc(planes, H, W)
+    return padded_planes_to_nhwc(planes, H, W)
 
 
 def mobilenet_v2_fused_forward(

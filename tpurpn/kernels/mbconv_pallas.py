@@ -36,54 +36,99 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# lane-aligned halo padding either side of the expanded-activation scratch;
+# must be a multiple of 128 and >= W+3 for every fused block (max W here is
+# 125 -> Wp=127 -> halo 128)
+_HALO_PAD = 256
+
+
 def _mbconv_kernel(
-    x_ref,  # (1, Cin, HWp) bf16 input planes
-    w1_ref,  # (Cexp, Cin) bf16 expand weight (transposed)
+    x_ref,  # (1, Cin, HWp) input planes, border-padded layout (see below)
+    w1_ref,  # (Cexp, Cin) expand weight (transposed)
     b1_ref,  # (Cexp, 1) f32 expand bias
     k_ref,  # (Cexp, 16) f32 depthwise taps, column = 3*(dy+1)+(dx+1)
     b2_ref,  # (Cexp, 1) f32 depthwise bias
-    w2_ref,  # (Cout, Cexp) bf16 project weight (transposed)
+    w2_ref,  # (Cout, Cexp) project weight (transposed)
     b3_ref,  # (Cout, 1) f32 project bias
-    out_ref,  # (1, Cout, HWp) bf16
+    out_ref,  # (1, Cout, HWp)
+    e_scr,  # (Cexp, HWp) scratch: expanded activation (never leaves VMEM)
     *,
-    H: int,
-    W: int,
+    Hp: int,  # padded height H+2
+    Wp: int,  # padded width W+2
     residual: bool,
+    chunk: int,
 ):
+    """Spatial layout: images arrive with a one-pixel zero border baked into
+    the flattened lane dim ((H+2) x (W+2) pixels). The depthwise taps then
+    never wrap across rows into valid pixels — no per-tap masks; the only
+    masking is zeroing E's border lanes once after the expand (conv pads the
+    *expanded* activation with zeros, and expand(0)+bias is not zero)."""
     hwp = x_ref.shape[-1]
-    x = x_ref[0]  # (Cin, HWp)
+    n_valid = Hp * Wp
+    num_chunks = hwp // chunk
+    halo = Wp + 1
+    assert halo <= _HALO_PAD
+    # scratch layout: e_scr[:, _HALO_PAD + j] == expanded activation at lane j,
+    # with zeroed _HALO_PAD strips either side so halo reads never go OOB
 
-    # expand + ReLU6 (f32 accumulation on the MXU)
-    e = jnp.dot(w1_ref[...], x, preferred_element_type=jnp.float32)
-    e = e + b1_ref[...]
-    e = jnp.clip(e, 0.0, 6.0).astype(x.dtype)  # (Cexp, HWp)
+    # zero the halo strips once
+    e_scr[:, 0:_HALO_PAD] = jnp.zeros((e_scr.shape[0], _HALO_PAD), e_scr.dtype)
+    e_scr[:, _HALO_PAD + hwp :] = jnp.zeros(
+        (e_scr.shape[0], e_scr.shape[1] - _HALO_PAD - hwp), e_scr.dtype
+    )
 
-    # depthwise 3x3 via lane rolls + boundary masks
-    pos = lax.broadcasted_iota(jnp.int32, (1, hwp), 1)
-    px = pos % W
-    py = pos // W
-    acc = jnp.zeros(e.shape, jnp.float32)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            shift = dy * W + dx
-            tap = 3 * (dy + 1) + (dx + 1)
-            # circular roll; negative shifts expressed modulo hwp
-            rolled = pltpu.roll(e, (-shift) % hwp, axis=1) if shift else e
-            mask = (
-                (px + dx >= 0)
-                & (px + dx < W)
-                & (py + dy >= 0)
-                & (py + dy < H)
-            ).astype(jnp.float32)
-            acc = acc + rolled.astype(jnp.float32) * mask * k_ref[:, tap : tap + 1]
-    d = jnp.clip(acc + b2_ref[...], 0.0, 6.0).astype(x.dtype)
+    # expand + ReLU6 (f32 accumulation on the MXU) into scratch. fori_loop
+    # (static bounds) keeps per-chunk temporaries out of one giant stack
+    # frame — a python-unrolled loop makes Mosaic co-allocate every
+    # iteration's temporaries (~60 MB).
+    def expand_body(c, _):
+        c0 = pl.multiple_of(c * chunk, chunk)
+        pos = lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + c0
+        px = pos % Wp
+        py = pos // Wp
+        interior = (
+            (px >= 1) & (px <= Wp - 2) & (py >= 1) & (py <= Hp - 2)
+            & (pos < n_valid)
+        )
+        e = jnp.dot(
+            w1_ref[...], x_ref[0, :, pl.ds(c0, chunk)],
+            preferred_element_type=jnp.float32,
+        )
+        e = jnp.clip(e + b1_ref[...], 0.0, 6.0)
+        # zero the border lanes: the conv zero-pads the *expanded*
+        # activation, and expand(0)+bias is not zero
+        e_scr[:, pl.ds(c0 + _HALO_PAD, chunk)] = jnp.where(
+            interior, e, 0.0
+        ).astype(e_scr.dtype)
+        return 0
 
-    # project (+ optional residual; linear bottleneck — no activation)
-    o = jnp.dot(w2_ref[...], d, preferred_element_type=jnp.float32)
-    o = o + b3_ref[...]
-    if residual:
-        o = o + x.astype(jnp.float32)
-    out_ref[0] = o.astype(out_ref.dtype)
+    lax.fori_loop(0, num_chunks, expand_body, 0)
+
+    # depthwise 3x3 + project per chunk: one aligned halo-wide slice
+    # converted to f32 once, then 9 static-offset FMAs — no masks, no
+    # per-tap converts.
+    def dw_proj_body(c, _):
+        c0 = pl.multiple_of(c * chunk, chunk)
+        # covers scratch lanes [c0, c0 + chunk + 2*_HALO_PAD) — i.e. logical
+        # e lanes [c0 - _HALO_PAD, c0 + chunk + _HALO_PAD)
+        hbuf = e_scr[:, pl.ds(c0, chunk + 2 * _HALO_PAD)].astype(jnp.float32)
+        acc = jnp.zeros((e_scr.shape[0], chunk), jnp.float32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                s = _HALO_PAD + dy * Wp + dx  # hbuf[:, s + j] == e[c0 + j + shift]
+                tap = 3 * (dy + 1) + (dx + 1)
+                acc = acc + hbuf[:, s : s + chunk] * k_ref[:, tap : tap + 1]
+        d = jnp.clip(acc + b2_ref[...], 0.0, 6.0).astype(out_ref.dtype)
+
+        # project (+ optional residual; linear bottleneck — no activation)
+        o = jnp.dot(w2_ref[...], d, preferred_element_type=jnp.float32)
+        o = o + b3_ref[...]
+        if residual:
+            o = o + x_ref[0, :, pl.ds(c0, chunk)].astype(jnp.float32)
+        out_ref[0, :, pl.ds(c0, chunk)] = o.astype(out_ref.dtype)
+        return 0
+
+    lax.fori_loop(0, num_chunks, dw_proj_body, 0)
 
 
 @functools.partial(
@@ -103,16 +148,24 @@ def fused_mbconv_planes(
     dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run one fused stride-1 MBConv block over a batch of plane images.
+    """Run one fused stride-1 MBConv block over border-padded plane images.
 
-    Returns (B, Cout, H*W) in `dtype`. Matches the unfused
-    expand->dw->project composition (tests: test_mbconv_pallas.py).
+    ``x_planes`` is (B, Cin, (H+2)*(W+2)) — the flattened spatial dim
+    includes a one-pixel zero border (see nhwc_to_padded_planes). H and W are
+    the *unpadded* spatial dims. Returns planes in the same padded layout
+    (border lanes hold don't-care values — strip with
+    padded_planes_to_nhwc). Matches the unfused expand->dw->project
+    composition on the interior (tests: test_inference.py).
     """
     B, Cin, HW = x_planes.shape
-    assert HW >= H * W
+    Hp, Wp = H + 2, W + 2
+    assert HW >= Hp * Wp, (HW, Hp, Wp)
     Cexp = w1.shape[1]
     Cout = w2.shape[1]
-    hwp = _round_up(HW, 128)
+    # chunk the lane (spatial) dim; sized so per-chunk f32 temporaries stay
+    # a few MB even at Cexp=576
+    chunk = min(2048, _round_up(HW, 128))
+    hwp = _round_up(HW, chunk)
     if hwp > HW:
         x_planes = jnp.pad(x_planes, ((0, 0), (0, 0), (0, hwp - HW)))
 
@@ -125,7 +178,9 @@ def fused_mbconv_planes(
     b2c = b2.reshape(-1, 1).astype(jnp.float32)
     b3c = b3.reshape(-1, 1).astype(jnp.float32)
 
-    kernel = functools.partial(_mbconv_kernel, H=H, W=W, residual=residual)
+    kernel = functools.partial(
+        _mbconv_kernel, Hp=Hp, Wp=Wp, residual=residual, chunk=chunk
+    )
     rep = lambda b: (0, 0)  # weights replicated across the batch grid
     out = pl.pallas_call(
         kernel,
@@ -143,6 +198,12 @@ def fused_mbconv_planes(
             (1, Cout, hwp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, Cout, hwp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Cexp, hwp + 2 * _HALO_PAD), jnp.dtype(dtype))
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
         interpret=interpret,
     )(x_planes.astype(dtype), w1_t, b1c, taps, b2c, w2_t, b3c)
     return out[:, :, :HW]
@@ -157,4 +218,16 @@ def nhwc_to_planes(x: jnp.ndarray) -> jnp.ndarray:
 def planes_to_nhwc(x: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     """(B, C, H*W) -> (B, H, W, C)."""
     B, C, HW = x.shape
-    return jnp.transpose(x, (0, 2, 1)).reshape(B, H, W, C)
+    return jnp.transpose(x[:, :, : H * W], (0, 2, 1)).reshape(B, H, W, C)
+
+
+def nhwc_to_padded_planes(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, C, (H+2)*(W+2)) with a zero one-pixel border."""
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return nhwc_to_planes(x)
+
+
+def padded_planes_to_nhwc(x: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Inverse of nhwc_to_padded_planes: strip the border lanes."""
+    full = planes_to_nhwc(x, H + 2, W + 2)
+    return full[:, 1:-1, 1:-1, :]
