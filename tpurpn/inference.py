@@ -27,9 +27,9 @@ from jax import lax
 
 from .config import HyperParams
 from .kernels.mbconv_pallas import (
-    fused_mbconv_planes,
-    nhwc_to_padded_planes,
-    padded_planes_to_nhwc,
+    fused_mbconv_flat,
+    flat_padded_to_nhwc,
+    nhwc_to_flat_padded,
 )
 
 
@@ -78,16 +78,17 @@ def _fused_args(bp, name):
 
 
 def _fused_segment(bb, x, block_ids, H, W, dtype, interpret):
-    """Run consecutive stride-1 blocks fused, in border-padded plane layout."""
-    planes = nhwc_to_padded_planes(x)
+    """Run consecutive stride-1 blocks fused, lane-flattened over the batch."""
+    B = x.shape[0]
+    flat = nhwc_to_flat_padded(x)
     for bid, residual in block_ids:
         name = f"block_{bid}"
         w1, b1, k, b2, w2, b3 = _fused_args(bb[name], name)
-        planes = fused_mbconv_planes(
-            planes, w1, b1, k, b2, w2, b3, H=H, W=W, residual=residual,
-            dtype=dtype, interpret=interpret,
+        flat = fused_mbconv_flat(
+            flat, w1, b1, k, b2, w2, b3, Hp=H + 2, Wp=W + 2, n_img=B,
+            residual=residual, dtype=dtype, interpret=interpret,
         )
-    return padded_planes_to_nhwc(planes, H, W)
+    return flat_padded_to_nhwc(flat, B, H, W)
 
 
 def mobilenet_v2_fused_forward(

@@ -209,6 +209,163 @@ def fused_mbconv_planes(
     return out[:, :, :HW]
 
 
+def _mbconv_flat_kernel(
+    x_hbm,  # (Cin, 2*_HALO_PAD + Lp) in HBM/ANY — pre-padded storage
+    w1_ref,  # (Cexp, Cin)
+    b1_ref,  # (Cexp, 1) f32
+    k_ref,  # (Cexp, 16) f32
+    b2_ref,  # (Cexp, 1) f32
+    w2_ref,  # (Cout, Cexp)
+    b3_ref,  # (Cout, 1) f32
+    out_ref,  # (Cout, chunk) VMEM lane tile
+    xbuf,  # (Cin, chunk + 2*_HALO_PAD) VMEM scratch
+    sem,  # DMA semaphore
+    *,
+    Hp: int,
+    Wp: int,
+    n_img: int,
+    residual: bool,
+    chunk: int,
+):
+    """Lane-grid variant: ALL images are flattened along lanes (one padded
+    (Hp*Wp)-lane block per image, concatenated), and the Pallas grid tiles
+    that axis — every grid step is a wide (Cexp x chunk) slab of work, so
+    the MXU/VPU stay busy and grid steps pipeline with the halo DMA.
+
+    Depthwise taps from interior pixels never escape their own image's
+    padded block (max reach Wp+1 <= _HALO_PAD), so image boundaries need no
+    special handling beyond the zeroed borders."""
+    c = pl.program_id(0)
+    c0 = pl.multiple_of(c * chunk, chunk)
+    span = chunk + 2 * _HALO_PAD
+
+    # halo'd input slab: storage lane c0 + j == logical lane c0 + j - _HALO_PAD
+    dma = pltpu.make_async_copy(x_hbm.at[:, pl.ds(c0, span)], xbuf, sem)
+    dma.start()
+    dma.wait()
+
+    # expand + ReLU6 over the slab, border/ghost lanes zeroed
+    logical = lax.broadcasted_iota(jnp.int32, (1, span), 1) + (c0 - _HALO_PAD)
+    local = jnp.mod(logical, Hp * Wp)
+    px = local % Wp
+    py = local // Wp
+    interior = (
+        (logical >= 0)
+        & (logical < n_img * Hp * Wp)
+        & (px >= 1) & (px <= Wp - 2) & (py >= 1) & (py <= Hp - 2)
+    )
+    e = jnp.dot(w1_ref[...], xbuf[...], preferred_element_type=jnp.float32)
+    e = jnp.clip(e + b1_ref[...], 0.0, 6.0)
+    e = jnp.where(interior, e, 0.0).astype(xbuf.dtype)  # (Cexp, span)
+
+    # depthwise 3x3: nine static-offset FMAs into an f32 accumulator
+    acc = jnp.zeros((e.shape[0], chunk), jnp.float32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            s = _HALO_PAD + dy * Wp + dx
+            tap = 3 * (dy + 1) + (dx + 1)
+            acc = acc + e[:, s : s + chunk].astype(jnp.float32) * k_ref[
+                :, tap : tap + 1
+            ]
+    d = jnp.clip(acc + b2_ref[...], 0.0, 6.0).astype(xbuf.dtype)
+
+    o = jnp.dot(w2_ref[...], d, preferred_element_type=jnp.float32)
+    o = o + b3_ref[...]
+    if residual:
+        o = o + xbuf[:, _HALO_PAD : _HALO_PAD + chunk].astype(jnp.float32)
+    out_ref[...] = o.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Hp", "Wp", "n_img", "residual", "dtype", "interpret"),
+)
+def fused_mbconv_flat(
+    x_flat: jnp.ndarray,  # (Cin, L) with L = n_img * Hp * Wp
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    dw_kernel: jnp.ndarray,  # (3, 3, Cexp)
+    b2: jnp.ndarray,
+    w2: jnp.ndarray,
+    b3: jnp.ndarray,
+    Hp: int,
+    Wp: int,
+    n_img: int,
+    residual: bool,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-batch fused MBConv on lane-flattened border-padded images.
+
+    x_flat concatenates every image's (Hp*Wp)-lane padded block along the
+    lane axis. Returns (Cout, L) in the same layout.
+    """
+    Cin, L = x_flat.shape
+    assert L == n_img * Hp * Wp, (L, n_img, Hp, Wp)
+    Cexp = w1.shape[1]
+    Cout = w2.shape[1]
+    chunk = 2048 if Cexp <= 256 else 1024
+    lp = _round_up(L, chunk)
+    storage = jnp.pad(
+        x_flat.astype(dtype), ((0, 0), (_HALO_PAD, lp - L + _HALO_PAD))
+    )
+
+    w1_t = jnp.transpose(w1).astype(dtype)
+    w2_t = jnp.transpose(w2).astype(dtype)
+    taps = jnp.zeros((Cexp, 16), jnp.float32).at[:, :9].set(
+        dw_kernel.reshape(9, Cexp).T.astype(jnp.float32)
+    )
+    b1c = b1.reshape(-1, 1).astype(jnp.float32)
+    b2c = b2.reshape(-1, 1).astype(jnp.float32)
+    b3c = b3.reshape(-1, 1).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _mbconv_flat_kernel,
+        Hp=Hp, Wp=Wp, n_img=n_img, residual=residual, chunk=chunk,
+    )
+    rep = lambda c: (0, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(lp // chunk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; DMA'd
+            pl.BlockSpec((Cexp, Cin), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cexp, 1), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cexp, 16), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cexp, 1), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cout, Cexp), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cout, 1), rep, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (Cout, chunk), lambda c: (0, c), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Cout, lp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Cin, chunk + 2 * _HALO_PAD), jnp.dtype(dtype)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(storage, w1_t, b1c, taps, b2c, w2_t, b3c)
+    return out[:, :L]
+
+
+def nhwc_to_flat_padded(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (C, B*(H+2)*(W+2)) with per-image zero borders."""
+    B, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return jnp.transpose(xp.reshape(B * (H + 2) * (W + 2), C))
+
+
+def flat_padded_to_nhwc(x: jnp.ndarray, B: int, H: int, W: int) -> jnp.ndarray:
+    """Inverse of nhwc_to_flat_padded."""
+    C = x.shape[0]
+    full = jnp.transpose(x).reshape(B, H + 2, W + 2, C)
+    return full[:, 1:-1, 1:-1, :]
+
+
 def nhwc_to_planes(x: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, C) -> (B, C, H*W)."""
     B, H, W, C = x.shape

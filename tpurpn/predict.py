@@ -125,7 +125,7 @@ def generate_proposals_planes(
     scores: jnp.ndarray,
     hp: HyperParams,
     topn: int,
-    block: int = 128,
+    block: int = 256,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """TPU fast path of :func:`generate_proposals` on plane-layout boxes.
