@@ -83,6 +83,17 @@ def preprocess_batch(
 # ---------------------------------------------------------------------------
 
 
+def _max_iou(box: np.ndarray, others: np.ndarray) -> float:
+    y1 = np.maximum(box[0], others[:, 0])
+    x1 = np.maximum(box[1], others[:, 1])
+    y2 = np.minimum(box[2], others[:, 2])
+    x2 = np.minimum(box[3], others[:, 3])
+    inter = np.clip(y2 - y1, 0, None) * np.clip(x2 - x1, 0, None)
+    area = lambda b: (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+    union = area(box) + area(others) - inter
+    return float((inter / np.maximum(union, 1e-8)).max())
+
+
 @dataclasses.dataclass
 class SyntheticVOC:
     """Procedural detection data: bright axis-aligned rectangles on noise.
@@ -108,17 +119,28 @@ class SyntheticVOC:
         n = int(rng.integers(self.min_boxes, self.max_boxes + 1))
         boxes = np.zeros((self.max_boxes, 4), np.float32)
         labels = np.full((self.max_boxes,), -1, np.int32)
-        for i in range(n):
-            h = rng.uniform(0.12, 0.6)
-            w = rng.uniform(0.12, 0.6)
-            y1 = rng.uniform(0.0, 1.0 - h)
-            x1 = rng.uniform(0.0, 1.0 - w)
-            boxes[i] = (y1, x1, y1 + h, x1 + w)
-            labels[i] = int(rng.integers(1, len(VOC_CLASSES) + 1))  # 0 = background
+        count = 0
+        for _ in range(n):
+            # rejection-sample boxes with low mutual overlap: heavily
+            # occluded objects would be unlearnable (later rectangles
+            # overwrite earlier pixels) and poison recall measurements
+            for _attempt in range(8):
+                h = rng.uniform(0.12, 0.6)
+                w = rng.uniform(0.12, 0.6)
+                y1 = rng.uniform(0.0, 1.0 - h)
+                x1 = rng.uniform(0.0, 1.0 - w)
+                cand = np.array([y1, x1, y1 + h, x1 + w], np.float32)
+                if count == 0 or _max_iou(cand, boxes[:count]) < 0.3:
+                    break
+            else:
+                continue
+            boxes[count] = cand
+            labels[count] = int(rng.integers(1, len(VOC_CLASSES) + 1))  # 0 = bg
             color = rng.integers(120, 255, size=3)
             py1, px1 = int(y1 * self.raw_h), int(x1 * self.raw_w)
             py2, px2 = int((y1 + h) * self.raw_h), int((x1 + w) * self.raw_w)
             img[py1:py2, px1:px2] = color
+            count += 1
         return img, boxes, labels
 
     def batches(

@@ -56,11 +56,32 @@ void generate_one(uint64_t seed, int64_t index, int raw_h, int raw_w,
   const int n = static_cast<int>(
       rng.uniform_int(static_cast<uint32_t>(min_boxes),
                       static_cast<uint32_t>(max_boxes) + 1));
-  for (int i = 0; i < n; ++i) {
-    const float h = static_cast<float>(rng.uniform(0.12, 0.6));
-    const float w = static_cast<float>(rng.uniform(0.12, 0.6));
-    const float y1 = static_cast<float>(rng.uniform(0.0, 1.0 - h));
-    const float x1 = static_cast<float>(rng.uniform(0.0, 1.0 - w));
+  int count = 0;
+  for (int obj = 0; obj < n; ++obj) {
+    // rejection-sample low-overlap boxes (heavily occluded objects would be
+    // unlearnable — later rectangles overwrite earlier pixels)
+    float y1 = 0, x1 = 0, h = 0, w = 0;
+    bool ok = false;
+    for (int attempt = 0; attempt < 8 && !ok; ++attempt) {
+      h = static_cast<float>(rng.uniform(0.12, 0.6));
+      w = static_cast<float>(rng.uniform(0.12, 0.6));
+      y1 = static_cast<float>(rng.uniform(0.0, 1.0 - h));
+      x1 = static_cast<float>(rng.uniform(0.0, 1.0 - w));
+      ok = true;
+      for (int j = 0; j < count && ok; ++j) {
+        const float* o = boxes + j * 4;
+        const float iy1 = std::max(y1, o[0]);
+        const float ix1 = std::max(x1, o[1]);
+        const float iy2 = std::min(y1 + h, o[2]);
+        const float ix2 = std::min(x1 + w, o[3]);
+        const float inter = std::max(0.f, iy2 - iy1) * std::max(0.f, ix2 - ix1);
+        const float uni =
+            h * w + (o[2] - o[0]) * (o[3] - o[1]) - inter;
+        if (inter / std::max(uni, 1e-8f) >= 0.3f) ok = false;
+      }
+    }
+    if (!ok) continue;
+    const int i = count++;
     boxes[i * 4 + 0] = y1;
     boxes[i * 4 + 1] = x1;
     boxes[i * 4 + 2] = y1 + h;
