@@ -60,6 +60,7 @@ class _InvertedResidual(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     fold_bn: bool = False
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -69,7 +70,7 @@ class _InvertedResidual(nn.Module):
         bn_kw = dict(
             use_running_average=not train,
             epsilon=1e-3,
-            momentum=0.999,
+            momentum=self.bn_momentum,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
@@ -114,6 +115,7 @@ class MobileNetV2Backbone(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     fold_bn: bool = False
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -123,7 +125,7 @@ class MobileNetV2Backbone(nn.Module):
         bn_kw = dict(
             use_running_average=not train,
             epsilon=1e-3,
-            momentum=0.999,
+            momentum=self.bn_momentum,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
@@ -145,6 +147,7 @@ class MobileNetV2Backbone(nn.Module):
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     fold_bn=self.fold_bn,
+                    bn_momentum=self.bn_momentum,
                     name=name,
                 )(x, train=train)
                 block_id += 1

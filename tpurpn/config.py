@@ -76,6 +76,8 @@ class HyperParams:
     variances: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
     # --- TPU-native additions (not in the reference) ---
     max_gt_boxes: int = 64  # static pad for variable-length GT (XLA static shapes)
+    bn_momentum: float = 0.99  # running-stats momentum (Keras uses 0.999;
+    # 0.99 adapts in hundreds of steps instead of tens of thousands)
     compute_dtype: str = "bfloat16"  # backbone/head compute dtype on the MXU
     param_dtype: str = "float32"
 

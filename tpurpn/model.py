@@ -50,6 +50,7 @@ class RPN(nn.Module):
                 dtype=dtype,
                 param_dtype=param_dtype,
                 fold_bn=self.fold_bn,
+                bn_momentum=hp.bn_momentum,
                 name="backbone",
             )
         else:  # pragma: no cover - config validates earlier
