@@ -27,6 +27,29 @@ from .boxes import (
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    """Lazy top-level conveniences (avoid importing flax/optax on light use)."""
+    if name in ("get_model", "init_model", "fold_batch_norm", "RPNModel"):
+        from . import model
+
+        return getattr(model, name)
+    if name == "make_predict_fn":
+        from .predict import make_predict_fn
+
+        return make_predict_fn
+    if name in ("make_train_step", "create_train_state", "rpn_generator",
+                "get_step_size"):
+        from . import train
+
+        return getattr(train, name)
+    if name == "proposal_recall":
+        from .eval import proposal_recall
+
+        return proposal_recall
+    raise AttributeError(f"module 'tpurpn' has no attribute {name!r}")
+
+
 __all__ = [
     "HyperParams",
     "get_hyper_params",
@@ -41,5 +64,14 @@ __all__ = [
     "normalize_bboxes",
     "denormalize_bboxes",
     "clip_bboxes",
+    "get_model",
+    "init_model",
+    "fold_batch_norm",
+    "make_predict_fn",
+    "make_train_step",
+    "create_train_state",
+    "rpn_generator",
+    "get_step_size",
+    "proposal_recall",
     "__version__",
 ]
