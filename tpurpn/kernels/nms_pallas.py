@@ -149,7 +149,7 @@ def nms_pallas_keep_planes(
     valid: jnp.ndarray,
     iou_threshold: float,
     max_output: int,
-    block: int = 128,
+    block: int = 256,
     chunk: int = 1024,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
