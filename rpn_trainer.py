@@ -24,6 +24,7 @@ from tpurpn.train import (
     create_train_state,
     default_optimizer,
     make_data_mesh,
+    make_eval_loss_fn,
     make_train_step,
     replicate,
     shard_batch,
@@ -65,17 +66,34 @@ def main(argv=None):
         print(f"[tpurpn] data-parallel over {mesh.devices.size} devices")
     step_fn = make_train_step(hp, model=model, mesh=mesh, augment=not args.no_augment)
 
-    # validation: loss-only step (no grads) reusing the train step math would
-    # re-jit; keep it simple — track train loss EMA and save best
+    eval_loss_fn = make_eval_loss_fn(hp, model=model)
     steps_per_epoch = args.steps_per_epoch or max(1, len(train_ds) // args.batch_size)
     ckpt_path = get_model_path(args.backbone, args.output_dir)
     log_path = get_log_path(args.backbone)
-    best_loss = float("inf")
+    best_val = float("inf")
     key = jax.random.key(args.seed + 1)
+
+    writer = None
+    if args.tensorboard:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(log_path)
+
+    def validation_loss(state):
+        # fixed key -> deterministic target sampling: epochs are comparable
+        losses = []
+        for imgs, boxes, labels in val_ds.batches(args.batch_size):
+            losses.append(float(eval_loss_fn(
+                state, jnp.asarray(imgs), jnp.asarray(boxes),
+                jnp.asarray(labels), jax.random.key(0),
+            )))
+        return float(np.mean(losses)) if losses else float("inf")
 
     print(f"[tpurpn] training {args.epochs} epochs x {steps_per_epoch} steps, "
           f"batch {args.batch_size}; logs: {log_path}")
-    it = train_ds.batches(args.batch_size, repeat=True)
+    from tpurpn.data import Prefetcher
+
+    it = Prefetcher(train_ds.batches(args.batch_size, repeat=True), depth=2)
     for epoch in range(args.epochs):
         t0 = time.time()
         losses = []
@@ -88,20 +106,29 @@ def main(argv=None):
             state, metrics = step_fn(state, imgs, boxes, labels, sk)
             losses.append(float(metrics["loss"]))
         mean_loss = float(np.mean(losses))
+        val_loss = validation_loss(state)
         dt = time.time() - t0
         ips = steps_per_epoch * args.batch_size / dt
         print(f"[tpurpn] epoch {epoch + 1}/{args.epochs} loss={mean_loss:.4f} "
-              f"({ips:.1f} img/s)")
+              f"val_loss={val_loss:.4f} ({ips:.1f} img/s)")
         with open(f"{log_path}/metrics.jsonl", "a") as f:
             import json
 
             f.write(json.dumps({"epoch": epoch + 1, "loss": mean_loss,
+                                "val_loss": val_loss,
                                 "images_per_sec": ips}) + "\n")
-        if mean_loss < best_loss:
-            best_loss = mean_loss
+        if writer is not None:
+            writer.add_scalar("loss/train", mean_loss, epoch + 1)
+            writer.add_scalar("loss/val", val_loss, epoch + 1)
+            writer.add_scalar("images_per_sec", ips, epoch + 1)
+        # reference parity: ModelCheckpoint(save_best_only=True, monitor val)
+        if val_loss < best_val:
+            best_val = val_loss
             save_checkpoint(ckpt_path, {"params": state.params,
                                         "batch_stats": state.batch_stats})
             print(f"[tpurpn] saved best checkpoint -> {ckpt_path}")
+    if writer is not None:
+        writer.close()
 
 
 if __name__ == "__main__":

@@ -43,6 +43,8 @@ def handle_args(argv=None) -> argparse.Namespace:
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all visible devices")
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="write TensorBoard scalars (reference parity)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-dir", default="trained")
     p.add_argument("--weights", default=None, help="checkpoint dir or .h5 file to load")

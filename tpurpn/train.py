@@ -164,6 +164,34 @@ def make_train_step(
     return wrapped
 
 
+def make_eval_loss_fn(hp: HyperParams, model: Optional[RPNModel] = None):
+    """Jitted validation-loss step (no grads): the quantity the reference's
+    ModelCheckpoint(save_best_only=True) monitors.
+
+    eval_loss(state, images_u8, gt_boxes, gt_labels, key) -> scalar loss.
+    """
+    model = model or get_model(hp)
+    anchors = generate_anchors(hp)
+
+    @jax.jit
+    def eval_loss(state: TrainState, images_u8, gt_boxes, gt_labels, key):
+        images, gt_boxes2 = preprocess_batch(
+            images_u8, gt_boxes, hp.img_size, augment=False
+        )
+        target_deltas, target_labels = calculate_rpn_actual_outputs(
+            anchors, gt_boxes2, gt_labels, hp, key
+        )
+        variables = {"params": state.params}
+        if jax.tree_util.tree_leaves(state.batch_stats):
+            variables["batch_stats"] = state.batch_stats
+        rpn_reg, rpn_cls = model.module.apply(variables, images, train=False)
+        return reg_loss(target_deltas, rpn_reg) + rpn_cls_loss(
+            target_labels, rpn_cls
+        )
+
+    return eval_loss
+
+
 def get_step_size(total_items: int, batch_size: int) -> int:
     """Mirror of the reference's ``train_utils.get_step_size`` (ceil division)."""
     return -(-total_items // batch_size)
