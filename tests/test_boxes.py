@@ -187,3 +187,15 @@ def test_normalize_roundtrip(rng):
     norm = normalize_bboxes(jnp.asarray(boxes), 500, 500)
     denorm = denormalize_bboxes(norm, 500, 500)
     np.testing.assert_allclose(np.asarray(denorm), boxes, rtol=1e-5)
+
+
+def test_nms_max_output_exceeds_candidates(rng):
+    """k > padded candidate count (tiny anchor grids) must clamp, not crash."""
+    boxes = random_boxes(rng, 40)
+    scores = rng.uniform(0, 1, size=(40,)).astype(np.float32)
+    idx, nv = non_max_suppression(jnp.asarray(boxes), jnp.asarray(scores), 300, 0.99)
+    assert idx.shape == (300,)
+    assert int(nv) <= 40
+    assert np.all(np.asarray(idx)[int(nv):] == -1)
+    tf_idx = tf.image.non_max_suppression(boxes, scores, 300, iou_threshold=0.99)
+    np.testing.assert_array_equal(np.asarray(idx)[: int(nv)], tf_idx.numpy())

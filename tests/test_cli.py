@@ -1,0 +1,67 @@
+"""CLI smoke tests: trainer and predictor end-to-end as subprocesses (CPU).
+
+The CLIs are the reference's user-facing surface (rpn_trainer.py /
+rpn_predictor.py — SURVEY.md §2 rows 1-2); run them for real with tiny
+settings so argument plumbing, checkpoint save/restore, and the drawn-output
+path are covered.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(script, *args, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"  # no effect vs sitecustomize; belt+braces
+    cmd = [
+        sys.executable,
+        "-c",
+        # force CPU despite the axon sitecustomize (same trick as conftest)
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        f"import sys; sys.argv = ['{script}'] + {list(args)!r};"
+        f"exec(open('{os.path.join(REPO, script)}').read())",
+    ]
+    return subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO
+    )
+
+
+@pytest.mark.slow
+def test_trainer_then_predictor_roundtrip(tmp_path):
+    out_dir = str(tmp_path / "trained")
+    r = run_cli(
+        "rpn_trainer.py",
+        "--backbone", "mobilenet_v2", "--img-size", "64", "--epochs", "1",
+        "--steps-per-epoch", "2", "--batch-size", "2",
+        "--output-dir", out_dir, "--learning-rate", "0.001",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "saved best checkpoint" in r.stdout
+    ckpt = os.path.join(out_dir, "rpn_mobilenet_v2")
+    assert os.path.isdir(ckpt)
+
+    r2 = run_cli(
+        "rpn_predictor.py",
+        "--backbone", "mobilenet_v2", "--img-size", "64", "--batch-size", "2",
+        "--weights", ckpt, "--output-dir", out_dir,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "proposal recall@300" in r2.stdout
+    assert os.path.exists(os.path.join(out_dir, "proposals_mobilenet_v2.png"))
+
+
+@pytest.mark.slow
+def test_predictor_random_init_warns(tmp_path):
+    r = run_cli(
+        "rpn_predictor.py",
+        "--backbone", "vgg16", "--img-size", "64", "--batch-size", "2",
+        "--weights", str(tmp_path / "missing"), "--output-dir", str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "using random init" in r.stdout

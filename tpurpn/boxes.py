@@ -326,11 +326,20 @@ def batched_non_max_suppression(
         )
 
     # first `max_output_size` kept boxes per image, in score order: top-k of
-    # (kept first, then by position) — cheaper than a full argsort
+    # (kept first, then by position) — cheaper than a full argsort. k may
+    # exceed the candidate count (e.g. tiny images): clamp and pad.
     positions = lax.broadcasted_iota(jnp.int32, (B, n_pad), 1)
     sort_key = jnp.where(keep, positions, n_pad + positions)
-    _, first_kept = lax.top_k(-sort_key, max_output_size)
+    k_eff = min(max_output_size, n_pad)
+    _, first_kept = lax.top_k(-sort_key, k_eff)
+    if k_eff < max_output_size:
+        first_kept = jnp.pad(
+            first_kept, ((0, 0), (0, max_output_size - k_eff)),
+            constant_values=n_pad - 1,
+        )
     is_valid_out = jnp.take_along_axis(keep, first_kept, axis=1)
+    if k_eff < max_output_size:
+        is_valid_out = is_valid_out.at[:, k_eff:].set(False)
     safe_kept = jnp.minimum(first_kept, n - 1)
     unsorted_indices = (
         safe_kept if order is None else jnp.take_along_axis(order, safe_kept, axis=1)

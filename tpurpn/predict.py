@@ -157,8 +157,15 @@ def generate_proposals_planes(
 
     positions = lax.broadcasted_iota(jnp.int32, (B, pre), 1)
     sort_key = jnp.where(keep, positions, pre + positions)
-    _, first_kept = lax.top_k(-sort_key, topn)
+    k_eff = min(topn, pre)  # tiny images can have fewer candidates than topn
+    _, first_kept = lax.top_k(-sort_key, k_eff)
+    if k_eff < topn:
+        first_kept = jnp.pad(
+            first_kept, ((0, 0), (0, topn - k_eff)), constant_values=pre - 1
+        )
     is_valid = jnp.take_along_axis(keep, first_kept, axis=1)
+    if k_eff < topn:
+        is_valid = is_valid.at[:, k_eff:].set(False)
     roi_planes = jnp.take_along_axis(tplanes, first_kept[:, None, :], axis=2)
     roi_scores = jnp.take_along_axis(top_scores, first_kept, axis=1)
     roi_boxes = jnp.moveaxis(
