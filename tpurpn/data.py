@@ -165,9 +165,10 @@ class SyntheticVOC:
 
             use_native = native_mod.available() if native is None else True
         epoch = 0
+        num_samples = len(self)  # shared with VOCDirectory, which has no num_samples
         while True:
-            for start in range(0, self.num_samples, batch_size):
-                idxs = range(start, min(start + batch_size, self.num_samples))
+            for start in range(0, num_samples, batch_size):
+                idxs = range(start, min(start + batch_size, num_samples))
                 if drop_remainder and len(idxs) < batch_size:
                     continue
                 if use_native:
@@ -214,8 +215,10 @@ def _parse_voc_xml(path: str, max_boxes: int):
         if name not in VOC_CLASSES:
             continue
         bb = obj.find("bndbox")
-        x1 = float(bb.find("xmin").text) / w
-        y1 = float(bb.find("ymin").text) / h
+        # VOC bndbox pixel coordinates are 1-based; tfds pascal_voc (what the
+        # reference consumes) converts min corners as (coord-1)/size — match it
+        x1 = (float(bb.find("xmin").text) - 1.0) / w
+        y1 = (float(bb.find("ymin").text) - 1.0) / h
         x2 = float(bb.find("xmax").text) / w
         y2 = float(bb.find("ymax").text) / h
         boxes[i] = (y1, x1, y2, x2)
@@ -308,6 +311,11 @@ def get_dataset(
     name=<path>     -> VOC directory on disk.
     """
     if name == "synthetic":
-        seed = {"train": 0, "validation": 1, "test": 2}.get(split, hash(split) % 1000)
+        # stable hash for unknown splits: str hash is randomized per process
+        import zlib
+
+        seed = {"train": 0, "validation": 1, "test": 2}.get(
+            split, zlib.crc32(split.encode()) % 1000
+        )
         return SyntheticVOC(seed=seed, **kwargs)
     return load_voc_directory(name, split=split, **kwargs)

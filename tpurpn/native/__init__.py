@@ -17,21 +17,31 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "dataloader.cpp")
-_SO = os.path.join(_DIR, "libtpurpn_data.so")
 _lock = threading.Lock()
 _lib = None
 
 
+def _so_path() -> str:
+    """Binary name embeds a source hash: a stale or wrong-source .so (e.g. a
+    checkout where mtimes are unreliable) can never be picked up silently."""
+    import zlib
+
+    with open(_SRC, "rb") as f:
+        digest = zlib.crc32(f.read()) & 0xFFFFFFFF
+    return os.path.join(_DIR, f"libtpurpn_data-{digest:08x}.so")
+
+
 def _build() -> str:
-    """Compile the loader if the .so is missing or older than the source."""
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
+    """Compile the loader unless a binary for this exact source exists."""
+    so = _so_path()
+    if os.path.exists(so):
+        return so
     cmd = [
         "g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _SO,
+        _SRC, "-o", so,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
-    return _SO
+    return so
 
 
 def load_library():
