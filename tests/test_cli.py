@@ -65,3 +65,35 @@ def test_predictor_random_init_warns(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "using random init" in r.stdout
+
+@pytest.mark.slow
+def test_trainer_resume_continues_optimizer(tmp_path):
+    """Full train-state checkpointing: resume restores opt_state + step."""
+    out_dir = str(tmp_path / "trained")
+    common = [
+        "--backbone", "mobilenet_v2", "--img-size", "64", "--epochs", "1",
+        "--steps-per-epoch", "2", "--batch-size", "2",
+        "--output-dir", out_dir, "--learning-rate", "0.001",
+    ]
+    r = run_cli("rpn_trainer.py", *common)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpt = os.path.join(out_dir, "rpn_mobilenet_v2")
+
+    r2 = run_cli("rpn_trainer.py", *common, "--weights", ckpt)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed full train state" in r2.stdout
+    assert "(step 2)" in r2.stdout  # optimizer step count carried over
+
+
+@pytest.mark.slow
+def test_trainer_nan_guard_fails_loudly(tmp_path):
+    """SURVEY.md §5 sanitizer row: a non-finite loss must abort with a clear
+    error, not train silently."""
+    r = run_cli(
+        "rpn_trainer.py",
+        "--backbone", "mobilenet_v2", "--img-size", "64", "--epochs", "1",
+        "--steps-per-epoch", "2", "--batch-size", "2",
+        "--output-dir", str(tmp_path), "--learning-rate", "nan",
+    )
+    assert r.returncode != 0
+    assert "non-finite training loss" in r.stderr

@@ -139,3 +139,17 @@ def test_get_dataset_custom_split_stable():
     import zlib
 
     assert a.seed == zlib.crc32(b"myweirdsplit") % 1000
+
+def test_data_api_mirrors():
+    """Reference data_utils API parity: types/shapes/padding values."""
+    from tpurpn.data import get_data_shapes, get_data_types, get_padding_values
+
+    assert get_data_types() == (np.float32, np.float32, np.int32)
+    assert get_data_shapes() == ((None, None, 3), (None, 4), (None,))
+    pads = get_padding_values()
+    assert pads == (0, 0.0, -1)
+    # the fixtures actually use these pad values
+    ds = SyntheticVOC(num_samples=2, max_boxes=6)
+    _, boxes, labels = ds.sample(0)
+    n_valid = int((labels != -1).sum())
+    assert np.all(boxes[n_valid:] == pads[1]) and np.all(labels[n_valid:] == pads[2])

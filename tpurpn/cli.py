@@ -1,0 +1,245 @@
+"""CLI entry points (installed as ``rpn-trainer`` / ``rpn-predictor``).
+
+The repo-root scripts ``rpn_trainer.py`` / ``rpn_predictor.py`` mirror the
+reference's invocation (``python rpn_trainer.py --backbone vgg16``,
+SURVEY.md §2 rows 1-2) and delegate here; after ``pip install tpurpn`` the
+same flows are available as console scripts.
+"""
+
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpurpn import get_hyper_params
+from tpurpn.data import get_dataset
+from tpurpn.io_utils import get_log_path, get_model_path, handle_args, save_checkpoint
+from tpurpn.model import get_model
+from tpurpn.train import (
+    create_train_state,
+    default_optimizer,
+    make_data_mesh,
+    make_eval_loss_fn,
+    make_train_step,
+    replicate,
+    shard_batch,
+)
+
+
+def trainer_main(argv=None):
+    args = handle_args(argv)
+    hp = get_hyper_params(args.backbone, img_size=args.img_size)
+    if args.handle_gpu:  # reference parity: -handle-gpu
+        from tpurpn.io_utils import handle_device_compatibility
+
+        handle_device_compatibility()
+    print(f"[tpurpn] devices: {jax.devices()}")
+    print(f"[tpurpn] hyper_params: {hp}")
+
+    train_ds = get_dataset(args.dataset, "train", max_boxes=hp.max_gt_boxes)
+    val_ds = get_dataset(args.dataset, "validation", max_boxes=hp.max_gt_boxes)
+
+    model = get_model(hp)
+    state = create_train_state(
+        hp, jax.random.key(args.seed), tx=default_optimizer(args.learning_rate),
+        model=model,
+    )
+    if args.weights:  # resume from a previous checkpoint
+        import os as _os
+
+        from tpurpn.io_utils import load_checkpoint
+
+        if _os.path.isdir(args.weights):
+            # full train-state resume (params + BN stats + optimizer + step);
+            # falls back to weights-only for pre-round-2 checkpoints
+            try:
+                like = {"params": state.params, "batch_stats": state.batch_stats,
+                        "opt_state": state.opt_state, "step": state.step}
+                restored = load_checkpoint(args.weights, like)
+                state = state.replace(
+                    params=restored["params"],
+                    batch_stats=restored["batch_stats"],
+                    opt_state=restored["opt_state"],
+                    step=restored["step"],
+                )
+                print(f"[tpurpn] resumed full train state from {args.weights} "
+                      f"(step {int(state.step)})")
+            except Exception:
+                like = {"params": state.params, "batch_stats": state.batch_stats}
+                restored = load_checkpoint(args.weights, like)
+                state = state.replace(
+                    params=restored["params"],
+                    batch_stats=restored.get("batch_stats", state.batch_stats),
+                )
+                print(f"[tpurpn] resumed weights (no optimizer state) from "
+                      f"{args.weights}")
+
+    mesh = None
+    if args.data_parallel:
+        mesh = make_data_mesh()
+        state = replicate(mesh, state)
+        print(f"[tpurpn] data-parallel over {mesh.devices.size} devices")
+    step_fn = make_train_step(hp, model=model, mesh=mesh, augment=not args.no_augment)
+
+    eval_loss_fn = make_eval_loss_fn(hp, model=model)
+    steps_per_epoch = args.steps_per_epoch or max(1, len(train_ds) // args.batch_size)
+    ckpt_path = get_model_path(args.backbone, args.output_dir)
+    log_path = get_log_path(args.backbone)
+    best_val = float("inf")
+    key = jax.random.key(args.seed + 1)
+
+    writer = None
+    if args.tensorboard:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(log_path)
+
+    def validation_loss(state):
+        # fixed key -> deterministic target sampling: epochs are comparable
+        losses = []
+        for imgs, boxes, labels in val_ds.batches(args.batch_size):
+            losses.append(float(eval_loss_fn(
+                state, jnp.asarray(imgs), jnp.asarray(boxes),
+                jnp.asarray(labels), jax.random.key(0),
+            )))
+        return float(np.mean(losses)) if losses else float("inf")
+
+    print(f"[tpurpn] training {args.epochs} epochs x {steps_per_epoch} steps, "
+          f"batch {args.batch_size}; logs: {log_path}")
+    from tpurpn.data import Prefetcher
+
+    it = Prefetcher(train_ds.batches(args.batch_size, repeat=True), depth=2)
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        losses = []
+        for s in range(steps_per_epoch):
+            imgs, boxes, labels = next(it)
+            imgs, boxes, labels = jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(labels)
+            if mesh is not None:
+                imgs, boxes, labels = shard_batch(mesh, imgs, boxes, labels)
+            key, sk = jax.random.split(key)
+            state, metrics = step_fn(state, imgs, boxes, labels, sk)
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):  # SURVEY.md §5 sanitizer row: fail loudly
+                raise FloatingPointError(
+                    f"non-finite training loss {loss} at epoch {epoch + 1} "
+                    f"step {s} (reg={float(metrics['reg_loss']):.4g}, "
+                    f"cls={float(metrics['cls_loss']):.4g}) — check learning "
+                    f"rate / data; training state NOT saved"
+                )
+            losses.append(loss)
+        mean_loss = float(np.mean(losses))
+        val_loss = validation_loss(state)
+        dt = time.time() - t0
+        ips = steps_per_epoch * args.batch_size / dt
+        print(f"[tpurpn] epoch {epoch + 1}/{args.epochs} loss={mean_loss:.4f} "
+              f"val_loss={val_loss:.4f} ({ips:.1f} img/s)")
+        with open(f"{log_path}/metrics.jsonl", "a") as f:
+            import json
+
+            f.write(json.dumps({"epoch": epoch + 1, "loss": mean_loss,
+                                "val_loss": val_loss,
+                                "images_per_sec": ips}) + "\n")
+        if writer is not None:
+            writer.add_scalar("loss/train", mean_loss, epoch + 1)
+            writer.add_scalar("loss/val", val_loss, epoch + 1)
+            writer.add_scalar("images_per_sec", ips, epoch + 1)
+        # reference parity: ModelCheckpoint(save_best_only=True, monitor val).
+        # Full train state (SURVEY.md §5): resume continues the optimizer.
+        if val_loss < best_val:
+            best_val = val_loss
+            save_checkpoint(ckpt_path, {"params": state.params,
+                                        "batch_stats": state.batch_stats,
+                                        "opt_state": state.opt_state,
+                                        "step": state.step})
+            print(f"[tpurpn] saved best checkpoint -> {ckpt_path}")
+    if writer is not None:
+        writer.close()
+
+
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpurpn import get_hyper_params
+from tpurpn.data import get_dataset, preprocess_batch
+from tpurpn.eval import proposal_recall
+from tpurpn.io_utils import get_model_path, handle_args, load_checkpoint
+from tpurpn.model import get_model, init_model
+from tpurpn.predict import make_predict_fn
+
+
+def predictor_main(argv=None):
+    args = handle_args(argv)
+    hp = get_hyper_params(args.backbone, img_size=args.img_size)
+    if args.handle_gpu:  # reference parity: -handle-gpu
+        from tpurpn.io_utils import handle_device_compatibility
+
+        handle_device_compatibility()
+    model = get_model(hp)
+    variables = init_model(model, jax.random.key(args.seed))
+
+    weights = args.weights or get_model_path(args.backbone, args.output_dir)
+    if weights.endswith(".h5") and os.path.exists(weights):
+        from tpurpn.io_utils import load_keras_h5_weights
+
+        params, stats, missing = load_keras_h5_weights(
+            weights, variables["params"], variables.get("batch_stats")
+        )
+        variables = {"params": params}
+        if stats is not None:
+            variables["batch_stats"] = stats
+        print(f"[tpurpn] loaded .h5 weights ({len(missing)} params missing)")
+    elif os.path.isdir(weights):
+        # partial: train checkpoints also hold opt_state/step (SURVEY.md §5)
+        like = {"params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {})}
+        restored = load_checkpoint(weights, like, partial=True)
+        variables = {k: v for k, v in restored.items() if v}
+        print(f"[tpurpn] restored checkpoint from {weights}")
+    else:
+        print(f"[tpurpn] WARNING: no weights at {weights}; using random init")
+
+    # fold BatchNorms into conv weights for inference (same math, faster)
+    if "batch_stats" in variables and jax.tree_util.tree_leaves(
+        variables.get("batch_stats", {})
+    ):
+        from tpurpn.model import fold_batch_norm
+
+        model, variables = fold_batch_norm(hp, variables)
+    predict = make_predict_fn(model, hp)
+    ds = get_dataset(args.dataset, "test", max_boxes=hp.max_gt_boxes)
+
+    recalls, total_gt = [], 0
+    first_batch = None
+    for imgs, boxes, labels in ds.batches(args.batch_size):
+        x, b = preprocess_batch(
+            jnp.asarray(imgs), jnp.asarray(boxes), hp.img_size
+        )
+        out = predict(variables, x)
+        r = proposal_recall(
+            out["roi_boxes"], out["num_valid"], b, jnp.asarray(labels)
+        )
+        recalls.append((int(r["num_recalled"]), int(r["num_gt"])))
+        total_gt += int(r["num_gt"])
+        if first_batch is None:
+            first_batch = (np.asarray(x), np.asarray(out["roi_boxes"]),
+                           np.asarray(out["num_valid"]))
+
+    rec = sum(r for r, _ in recalls) / max(1, sum(g for _, g in recalls))
+    print(f"[tpurpn] proposal recall@{hp.test_nms_topn} (IoU>=0.5): {rec:.4f} "
+          f"over {total_gt} GT boxes")
+
+    if first_batch is not None:
+        from tpurpn.drawing import draw_bboxes_to_file
+
+        imgs, roi, nv = first_batch
+        out_path = os.path.join(args.output_dir, f"proposals_{args.backbone}.png")
+        os.makedirs(args.output_dir, exist_ok=True)
+        draw_bboxes_to_file(imgs[0], roi[0][: min(50, nv[0])], out_path)
+        print(f"[tpurpn] drew top proposals -> {out_path}")

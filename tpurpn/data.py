@@ -302,6 +302,36 @@ class Prefetcher:
         return item
 
 
+def get_data_types():
+    """Mirror of the reference's ``data_utils.get_data_types``.
+
+    Element dtypes for a (image, gt_boxes, gt_labels) sample after
+    preprocessing — the reference returns (tf.float32, tf.float32, tf.int32)
+    for tf.data's padded_batch; here they are numpy dtypes.
+    """
+    return (np.float32, np.float32, np.int32)
+
+
+def get_data_shapes():
+    """Mirror of the reference's ``data_utils.get_data_shapes``.
+
+    Per-element shapes with None for the data-dependent dimensions
+    ((H, W, 3) image, (num_gt, 4) boxes, (num_gt,) labels). The TPU-native
+    pipeline replaces the ragged dims with static pads (img_size / max_gt),
+    but the contract shape is the same.
+    """
+    return ((None, None, 3), (None, 4), (None,))
+
+
+def get_padding_values():
+    """Mirror of the reference's ``data_utils.get_padding_values``.
+
+    padded_batch fill values: image 0, boxes 0.0, labels -1 — these are
+    exactly the pad conventions used by SyntheticVOC/VOCDirectory batches.
+    """
+    return (0, 0.0, -1)
+
+
 def get_dataset(
     name: str = "synthetic", split: str = "train", **kwargs
 ):

@@ -45,6 +45,11 @@ def handle_args(argv=None) -> argparse.Namespace:
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--tensorboard", action="store_true",
                    help="write TensorBoard scalars (reference parity)")
+    p.add_argument(
+        "-handle-gpu", "--handle-gpu", dest="handle_gpu", action="store_true",
+        help="reference parity for -handle-gpu: log/verify the device setup "
+             "(the reference sets CUDA memory growth; TPU needs no equivalent)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-dir", default="trained")
     p.add_argument("--weights", default=None, help="checkpoint dir or .h5 file to load")
@@ -58,11 +63,13 @@ def is_valid_backbone(backbone: str) -> bool:
 def handle_device_compatibility() -> None:
     """Parity shim for the reference's ``handle_gpu_compatibility()``.
 
-    The reference sets CUDA memory growth; JAX on TPU needs no equivalent
-    (device memory is managed by the runtime), so this logs the device set
-    and returns.
+    The reference sets CUDA memory growth so TF doesn't grab all GPU memory;
+    JAX on TPU manages device memory in the runtime, so the equivalent is a
+    sanity log of the device set (and keeps any CUDA-side TF oracle from
+    claiming accelerator memory).
     """
-    print(f"[tpurpn] devices: {jax.devices()}")
+    os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")  # TF oracle stays off GPU
+    print(f"[tpurpn] backend={jax.default_backend()} devices: {jax.devices()}")
 
 
 def get_model_path(backbone: str, output_dir: str = "trained") -> str:
@@ -91,11 +98,21 @@ def save_checkpoint(path: str, state) -> None:
         ckptr.save(os.path.abspath(path), state, force=True)
 
 
-def load_checkpoint(path: str, like):
-    """Restore a pytree saved by :func:`save_checkpoint` (shaped like ``like``)."""
+def load_checkpoint(path: str, like, partial: bool = False):
+    """Restore a pytree saved by :func:`save_checkpoint` (shaped like ``like``).
+
+    ``partial=True`` restores only the entries present in ``like`` — e.g. the
+    predictor pulls {params, batch_stats} out of a full train-state checkpoint
+    (which also holds opt_state and step).
+    """
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
+        if partial:
+            # this orbax version has no partial_restore: restore the full
+            # saved tree untyped, then subset to the requested top-level keys
+            full = ckptr.restore(os.path.abspath(path))
+            return {k: full[k] for k in like if k in full}
         return ckptr.restore(os.path.abspath(path), like)
 
 
