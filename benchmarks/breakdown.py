@@ -1,0 +1,103 @@
+"""Component-level timing breakdown of the headline e2e inference path.
+
+Times nested prefixes of the pipeline (fwd | +decode | +sort | +NMS | +select
+| +preprocess) with the scan-chained methodology, so each stage's cost is the
+difference of two rows. Not a BASELINE config — a profiling tool.
+
+    python benchmarks/breakdown.py [batch]
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+from benchmarks.common import emit, enable_compile_cache, time_scan_chained
+
+
+def main(batch=128):
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tpurpn import get_hyper_params
+    from tpurpn.anchors import generate_anchors
+    from tpurpn.data import preprocess_batch
+    from tpurpn.kernels.nms_pallas import nms_pallas_keep_planes
+    from tpurpn.model import fold_batch_norm, get_model, init_model
+    from tpurpn.predict import decode_outputs_planes, generate_proposals_planes
+
+    hp = get_hyper_params("mobilenet_v2")
+    model, variables = fold_batch_norm(hp, init_model(get_model(hp), jax.random.key(0)))
+    anchors = generate_anchors(hp)
+
+    images = jax.random.uniform(
+        jax.random.key(1), (batch, hp.img_size, hp.img_size, 3), jnp.float32
+    ).astype(jnp.bfloat16)
+    raw_u8 = (
+        jax.random.uniform(jax.random.key(2), (batch, 375, 500, 3)) * 255
+    ).astype(jnp.uint8)
+
+    def fwd(variables, images, c):
+        reg, cls = model.module.apply(variables, images + c, train=False)
+        return (reg.astype(jnp.float32).mean() + cls.astype(jnp.float32).mean()) * 1e-6
+
+    def fwd_decode(variables, images, c):
+        reg, cls = model.module.apply(variables, images + c, train=False)
+        planes, scores = decode_outputs_planes(anchors, reg, cls, hp)
+        return (planes.mean() + scores.mean()) * 1e-6
+
+    def fwd_decode_sort(variables, images, c):
+        reg, cls = model.module.apply(variables, images + c, train=False)
+        planes, scores = decode_outputs_planes(anchors, reg, cls, hp)
+        sorted_ops = lax.sort(
+            (-scores, planes[:, 0], planes[:, 1], planes[:, 2], planes[:, 3]),
+            dimension=1, num_keys=1,
+        )
+        return (sorted_ops[0].mean() + sorted_ops[2].mean()) * 1e-6
+
+    def fwd_decode_sort_nms(variables, images, c):
+        reg, cls = model.module.apply(variables, images + c, train=False)
+        planes, scores = decode_outputs_planes(anchors, reg, cls, hp)
+        pre = min(hp.pre_nms_topn, scores.shape[1])
+        sorted_ops = lax.sort(
+            (-scores, planes[:, 0], planes[:, 1], planes[:, 2], planes[:, 3]),
+            dimension=1, num_keys=1,
+        )
+        top_scores = -sorted_ops[0][:, :pre]
+        tplanes = jnp.stack([p[:, :pre] for p in sorted_ops[1:]], axis=1)
+        keep, _ = nms_pallas_keep_planes(
+            tplanes, jnp.isfinite(top_scores), float(hp.nms_iou_threshold),
+            hp.test_nms_topn,
+        )
+        return keep.sum().astype(jnp.float32) * 1e-6
+
+    def e2e(variables, images, c):
+        reg, cls = model.module.apply(variables, images + c, train=False)
+        planes, scores = decode_outputs_planes(anchors, reg, cls, hp)
+        out = generate_proposals_planes(planes, scores, hp, topn=hp.test_nms_topn)
+        return out["roi_scores"].mean() * 1e-6
+
+    def e2e_preprocess(variables, raw, c):
+        imgs, _ = preprocess_batch(raw, jnp.zeros((batch, 1, 4)), hp.img_size)
+        return e2e(variables, imgs.astype(jnp.bfloat16), c)
+
+    iters = 30
+    rows = [
+        ("fwd", fwd, images),
+        ("fwd+decode", fwd_decode, images),
+        ("fwd+decode+sort", fwd_decode_sort, images),
+        ("fwd+decode+sort+nms", fwd_decode_sort_nms, images),
+        ("e2e", e2e, images),
+        ("e2e+preprocess_u8", e2e_preprocess, raw_u8),
+    ]
+    prev = 0.0
+    for name, fn, arg in rows:
+        dt = time_scan_chained(fn, variables, arg, iters=iters)
+        emit(f"breakdown_{name}", dt * 1e3, "ms/batch",
+             delta_ms=round((dt - prev) * 1e3, 2), img_per_s=round(batch / dt, 1))
+        prev = dt
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 128)

@@ -22,7 +22,11 @@ os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# TPURPN_TPU_TESTS=1 keeps the real TPU visible so the `tpu`-marked kernel
+# tests run non-interpreted on hardware (tests/run_tpu_tests.sh); default is
+# the 8-virtual-CPU-device mesh for everything else.
+if not os.environ.get("TPURPN_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

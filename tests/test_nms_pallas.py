@@ -70,3 +70,13 @@ def test_batched_nms_pallas_flag_matches_xla(rng):
         np.testing.assert_array_equal(
             np.asarray(idx_a[b])[: int(nv_a[b])], tf_idx.numpy()
         )
+
+@pytest.mark.tpu
+def test_pallas_keep_matches_twin_on_device(rng):
+    """Non-interpreted kernel on the real TPU vs the jnp twin (VERDICT r1 #4)."""
+    bs, ss = sorted_boxes(rng, 4, 2048)
+    valid = jnp.ones((4, 2048), bool)
+    ref = np.asarray(_nms_keep_sorted_batched(bs, valid, 0.7, 256, 300))
+    got, cnt = nms_pallas_keep(bs, valid, 0.7, 300, block=256)
+    np.testing.assert_array_equal(ref, np.asarray(got))
+    np.testing.assert_array_equal(ref.sum(-1), np.asarray(cnt))

@@ -80,3 +80,15 @@ def test_calculate_outputs_same_with_either_path(rng):
         anchors, gt, labels, hp, jax.random.key(0), use_pallas=False
     )
     assert d.shape[0] == 1 and l.shape[0] == 1
+
+@pytest.mark.tpu
+def test_fused_matching_matches_twin_on_device(rng):
+    """Non-interpreted kernel on the real TPU vs the jnp twin (VERDICT r1 #4)."""
+    hp = get_hyper_params("vgg16")  # full 500x500 anchor grid, 8649 anchors
+    anchors = generate_anchors(hp)
+    gt = random_gt(rng, 4, 64, 20)
+    m_ref, bg_ref, ba_ref = iou_matching(anchors, gt)
+    m_pl, bg_pl, ba_pl = fused_iou_matching(anchors, gt)
+    np.testing.assert_allclose(np.asarray(m_ref), np.asarray(m_pl), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(bg_ref), np.asarray(bg_pl))
+    np.testing.assert_array_equal(np.asarray(ba_ref), np.asarray(ba_pl))

@@ -1,0 +1,333 @@
+"""Fused proposal selection: block-lazy gather + greedy NMS + compaction.
+
+The round-2 replacement for the post-forward tail of the predictor
+(reference: rpn_predictor.py decode -> top-k -> tf.image.non_max_suppression
+-> selected proposals, SURVEY.md §3.2). The round-1 pipeline spent ~6 ms/batch
+(B=128) on a 5-operand ``lax.sort`` carrying box planes, the NMS keep kernel,
+and the output gathers. This kernel exploits measured facts about this TPU
+(benchmarks/exp_sort.py, benchmarks/breakdown.py):
+
+* ``lax.top_k(scores, pre)`` is ~4x cheaper than the payload-carrying sort
+  (0.97 vs 3.8 ms at B=128) — so sort **indices only**;
+* XLA lane gathers on (B, 4, N) planes are hopeless (7.5 ms), and Mosaic has
+  no dynamic lane gather — but a one-hot **MXU matmul is an exact gather**:
+  ``planes @ onehot(idx)`` touches only MXU+VPU, and greedy NMS early-exits
+  after ~max_output keeps, so only the few blocks actually processed are ever
+  gathered (the sort moved ALL 5 operands for all N candidates);
+* per-grid-step overhead is ~8 us on this TPU, so one grid step handles
+  ``group`` images (predicated on each image's kept count) instead of one.
+
+Per grid step (``group`` images, everything VMEM-resident):
+
+  while any image needs boxes and blocks remain, per image:
+    1. GATHER the next `block` candidates' planes: one-hot(idx_block) matmul
+       over lane chunks of the unsorted planes (precision HIGHEST — one-hot x
+       value decomposed in bf16 passes is an exact f32 gather, verified
+       bit-for-bit by the parity tests);
+    2. CROSS-SUPPRESS against the kept buffer — (block, buf) IoU sweep against
+       at most max_output-1+block boxes (the round-1 kernel swept the entire
+       processed *prefix*, kept or not);
+    3. WITHIN-BLOCK greedy fixpoint via the MXU matvec (same scheme as
+       kernels/nms_pallas.py);
+    4. COMPACT: scatter kept boxes to their rank slot in the kept buffer with
+       a rank-one-hot matmul (ranks from a lower-triangular cumsum matvec).
+       Images already holding max_output keeps contribute dead lanes only.
+
+Selection semantics are bit-identical to the jnp twin
+(``tpurpn.predict.generate_proposals_planes``) and therefore to the TF
+reference pipeline: ``lax.top_k`` breaks score ties by lower index exactly
+like the stable descending sort it replaces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _proposal_kernel(
+    planes_t_ref,  # (G, 1024, pages) f32: planes_t[a*128+l, p] = plane a of
+    #                box p*128+l — lane-transposed so a page one-hot gathers
+    #                whole 128-lane pages on the MXU (rows y1,x1,y2,x2,score)
+    idx_ref,  # (G, 1, pre_pad) i32: top_k candidate indices, descending score
+    out_ref,  # (G, 8, out_pad) f32: rows 0-3 boxes, 4 score, 5 valid,
+    #           6 num_valid, 7 kept_count — compacted, sorted order
+    kept_scr,  # (G * 8, buf) f32: kept boxes, plane rows, row 5 = occupied
+    blk_scr,  # (8, block) f32: gathered current block (reused across images)
+    page_scr,  # (1024, block) f32: page-gather output (reused across images)
+    *,
+    iou_threshold: float,
+    max_output: int,
+    block: int,
+    pages: int,
+    pre: int,
+    pre_pad: int,
+    buf: int,
+    out_pad: int,
+    group: int,
+):
+    num_blocks = pre_pad // block
+    # one-hot x f32 value needs >= 3 bf16 passes to be an exact gather
+    # (1.0 is exact in bf16; the value's bf16 split terms sum exactly)
+    highest = jax.lax.Precision.HIGHEST
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    kept_scr[...] = jnp.zeros((group * 8, buf), jnp.float32)
+
+    # strictly-lower-triangular (i < j) masks for rank cumsum + greedy matvec
+    row_ids = lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    col_ids = lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    lowtri = (col_ids < row_ids).astype(jnp.float32)
+
+    page_iota = lax.broadcasted_iota(jnp.int32, (pages, block), 0)  # rows
+    lane_iota = lax.broadcasted_iota(jnp.int32, (128, block), 0)  # rows
+    # Mosaic has no f32 iota — build i32 and convert
+    buf_iota = lax.broadcasted_iota(jnp.int32, (block, buf), 1).astype(jnp.float32)
+    pos_iota = lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+
+    def one_image(g, b, start, kept_count):
+        """One block of image g; returns its new kept_count."""
+        # ---- 1. two-level gather: page one-hot matmul + lane mask-reduce --
+        idx_row = idx_ref[g, 0:1, pl.ds(start, block)]  # (1, block) i32
+        page_row = lax.shift_right_logical(idx_row, 7)  # idx // 128
+        lane_row = lax.bitwise_and(idx_row, 127)  # idx % 128
+        onehot_page = (page_iota == page_row).astype(jnp.float32)  # (pages, blk)
+        # column j <- the whole 128-lane page holding candidate j, all 8 rows
+        page_scr[...] = jnp.dot(
+            planes_t_ref[g],
+            onehot_page,
+            preferred_element_type=jnp.float32,
+            precision=highest,
+        )  # (1024, block)
+        onehot_lane = (lane_iota == lane_row).astype(jnp.float32)  # (128, blk)
+        for a in range(5):  # rows y1,x1,y2,x2,score (5-7 are zero)
+            blk_scr[a : a + 1, :] = jnp.sum(
+                page_scr[pl.ds(a * 128, 128), :] * onehot_lane,
+                axis=0,
+                keepdims=True,
+            )
+        blk_scr[5:8, :] = jnp.zeros((3, block), jnp.float32)
+
+        y1c = jnp.transpose(blk_scr[0:1, :])  # (block, 1)
+        x1c = jnp.transpose(blk_scr[1:2, :])
+        y2c = jnp.transpose(blk_scr[2:3, :])
+        x2c = jnp.transpose(blk_scr[3:4, :])
+        area_c = jnp.maximum(y2c - y1c, 0.0) * jnp.maximum(x2c - x1c, 0.0)
+        # dead lanes: candidates past the real top-k length, or the whole
+        # block once this image already has max_output keeps (early exit)
+        alive = ((start + pos_iota) < pre) & (kept_count < max_output)
+
+        # ---- 2. cross suppression vs the kept buffer (single sweep) -------
+        y1r = kept_scr[g * 8 + 0 : g * 8 + 1, :]  # (1, buf)
+        x1r = kept_scr[g * 8 + 1 : g * 8 + 2, :]
+        y2r = kept_scr[g * 8 + 2 : g * 8 + 3, :]
+        x2r = kept_scr[g * 8 + 3 : g * 8 + 4, :]
+        occ = kept_scr[g * 8 + 5 : g * 8 + 6, :]  # 1.0 where a kept box lives
+        area_r = jnp.maximum(y2r - y1r, 0.0) * jnp.maximum(x2r - x1r, 0.0)
+        ih = jnp.maximum(jnp.minimum(y2c, y2r) - jnp.maximum(y1c, y1r), 0.0)
+        iw = jnp.maximum(jnp.minimum(x2c, x2r) - jnp.maximum(x1c, x1r), 0.0)
+        inter = ih * iw  # (block, buf)
+        union = jnp.maximum(area_c + area_r - inter, 1e-8)
+        hit = jnp.where((inter / union > iou_threshold) & (occ > 0.5), 1.0, 0.0)
+        alive = alive & (jnp.sum(hit, axis=1, keepdims=True) == 0.0)
+
+        # ---- 3. within-block greedy fixpoint (MXU matvec) ------------------
+        ih_b = jnp.maximum(
+            jnp.minimum(y2c, jnp.transpose(y2c)) - jnp.maximum(y1c, jnp.transpose(y1c)),
+            0.0,
+        )
+        iw_b = jnp.maximum(
+            jnp.minimum(x2c, jnp.transpose(x2c)) - jnp.maximum(x1c, jnp.transpose(x1c)),
+            0.0,
+        )
+        inter_b = ih_b * iw_b
+        union_b = jnp.maximum(area_c + jnp.transpose(area_c) - inter_b, 1e-8)
+        over_low = jnp.where(inter_b / union_b > iou_threshold, 1.0, 0.0) * lowtri
+        alive_f = jnp.where(alive, 1.0, 0.0)
+
+        def fix_cond(c):
+            return c[1]
+
+        def fix_body(c):
+            m, _ = c
+            sup = jnp.dot(over_low, m, preferred_element_type=jnp.float32) > 0.0
+            m_new = alive_f * jnp.where(sup, 0.0, 1.0)
+            return m_new, jnp.any(m_new != m)
+
+        m, _ = lax.while_loop(fix_cond, fix_body, (alive_f, True))  # (block, 1)
+
+        # ---- 4. compact kept boxes into their rank slots -------------------
+        # rank within kept order = kept_count + exclusive cumsum of m
+        rank = jnp.dot(lowtri, m, preferred_element_type=jnp.float32) + kept_count
+        scatter = m * jnp.where(rank == buf_iota, 1.0, 0.0)  # (block, buf)
+        blk_scr[5:6, :] = jnp.transpose(m)  # row 5 -> occupied flag
+        kept_scr[pl.ds(g * 8, 8), :] = kept_scr[pl.ds(g * 8, 8), :] + jnp.dot(
+            blk_scr[...], scatter,
+            preferred_element_type=jnp.float32, precision=highest,
+        )
+        return kept_count + jnp.sum(m)
+
+    def body(state):
+        b = state[0]
+        start = pl.multiple_of(b * block, block)
+        kept = tuple(
+            one_image(g, b, start, state[1 + g]) for g in range(group)
+        )
+        return (b + 1,) + kept
+
+    def cond(state):
+        b = state[0]
+        need = state[1] < max_output
+        for g in range(1, group):
+            need = need | (state[1 + g] < max_output)
+        return (b < num_blocks) & need
+
+    init = (jnp.int32(0),) + tuple(jnp.float32(0.0) for _ in range(group))
+    final = lax.while_loop(cond, body, init)
+
+    # emit the first max_output kept boxes (sorted order), zero past num_valid
+    lane = lax.broadcasted_iota(jnp.int32, (8, out_pad), 1).astype(jnp.float32)
+    for g in range(group):
+        kept_count = final[1 + g]
+        num_valid = jnp.minimum(kept_count, jnp.float32(max_output))
+        out_ref[g, :, :] = jnp.where(
+            lane < num_valid, kept_scr[pl.ds(g * 8, 8), :out_pad], 0.0
+        )
+        out_ref[g, 6:7, :] = jnp.full((1, out_pad), num_valid, jnp.float32)
+        out_ref[g, 7:8, :] = jnp.full((1, out_pad), kept_count, jnp.float32)
+
+
+def pack_planes(box_planes: jnp.ndarray, scores: jnp.ndarray, n_pad: int):
+    """(B, 4, N) planes + (B, N) scores -> the kernel's lane-transposed input.
+
+    Returns (B, 8*128, n_pad//128) with [b, a*128+l, p] = plane a of box
+    p*128+l: the layout where gathering a candidate = one page-one-hot matmul
+    (over p) plus a lane mask-reduce (over l) — see _proposal_kernel.
+    """
+    B, _, N = box_planes.shape
+    pages = n_pad // 128
+    planes = jnp.zeros((B, 8, n_pad), jnp.float32)
+    planes = planes.at[:, :4, :N].set(box_planes.astype(jnp.float32))
+    planes = planes.at[:, 4, :N].set(scores.astype(jnp.float32))
+    return (
+        planes.reshape(B, 8, pages, 128)
+        .transpose(0, 1, 3, 2)
+        .reshape(B, 8 * 128, pages)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pre", "iou_threshold", "max_output", "block", "group", "interpret",
+    ),
+)
+def fused_proposals_packed(
+    planes_t: jnp.ndarray,
+    scores: jnp.ndarray,
+    pre: int,
+    iou_threshold: float,
+    max_output: int,
+    block: int = 256,
+    group: int = 8,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Kernel entry on pre-packed lane-transposed planes (:func:`pack_planes`).
+
+    The packed layout lets callers (decode) fuse the packing into upstream
+    XLA ops instead of paying a separate ~0.8 ms materialization at B=128.
+    """
+    B, rows, pages = planes_t.shape
+    N = scores.shape[1]
+    assert rows == 1024 and pre <= N <= pages * 128, (rows, pre, N, pages)
+    pre_pad = _round_up(pre, block)
+    buf = _round_up(max_output - 1 + block, 128)
+    out_pad = _round_up(max_output, 128)
+    while B % group:
+        group //= 2
+
+    _, idx = lax.top_k(scores, pre)  # ties -> lower index, like stable sort
+    idx_pad = jnp.zeros((B, 1, pre_pad), jnp.int32)
+    idx_pad = idx_pad.at[:, 0, :pre].set(idx)
+
+    kernel = functools.partial(
+        _proposal_kernel,
+        iou_threshold=float(iou_threshold),
+        max_output=max_output,
+        block=block,
+        pages=pages,
+        pre=pre,
+        pre_pad=pre_pad,
+        buf=buf,
+        out_pad=out_pad,
+        group=group,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // group,),
+        in_specs=[
+            pl.BlockSpec(
+                (group, 1024, pages), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (group, 1, pre_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, 8, out_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 8, out_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((group * 8, buf), jnp.float32),
+            pltpu.VMEM((8, block), jnp.float32),
+            pltpu.VMEM((1024, block), jnp.float32),
+        ],
+        interpret=interpret,
+    )(planes_t, idx_pad)
+
+    return {
+        "roi_boxes": jnp.moveaxis(out[:, :4, :max_output], 1, -1),
+        "roi_scores": out[:, 4, :max_output],
+        "num_valid": out[:, 6, 0].astype(jnp.int32),
+    }
+
+
+def fused_proposals_planes(
+    box_planes: jnp.ndarray,
+    scores: jnp.ndarray,
+    pre: int,
+    iou_threshold: float,
+    max_output: int,
+    block: int = 256,
+    group: int = 8,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Top-k -> greedy NMS -> compacted proposals, fused.
+
+    Args:
+      box_planes: (B, 4, N) decoded candidate boxes, plane layout.
+      scores: (B, N) objectness scores.
+      pre: pre-NMS candidate count (min(hp.pre_nms_topn, N)).
+      iou_threshold / max_output: greedy-NMS parameters (TF semantics).
+
+    Returns dict {roi_boxes (B, max_output, 4), roi_scores (B, max_output),
+    num_valid (B,)} — bit-identical to generate_proposals_planes.
+    """
+    N = box_planes.shape[2]
+    n_pad = _round_up(N, 1024)  # 1024 = 8 sublane-groups of 128-lane pages
+    planes_t = pack_planes(box_planes, scores, n_pad)
+    return fused_proposals_packed(
+        planes_t, scores, pre=pre, iou_threshold=iou_threshold,
+        max_output=max_output, block=block, group=group,
+        interpret=interpret,
+    )
