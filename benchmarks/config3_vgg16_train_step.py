@@ -34,16 +34,28 @@ def main():
     ds = SyntheticVOC(num_samples=BATCH)
     imgs, boxes, labels = next(ds.batches(BATCH))
     imgs, boxes, labels = jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(labels)
-    key = jax.random.key(1)
 
-    # warm + compile; steps chain naturally through the state
-    state, m = step(state, imgs, boxes, labels, key)
-    float(m["loss"])
+    # K steps chained inside ONE jitted scan carrying the train state: device
+    # throughput, not the ~25 ms/dispatch axon-tunnel artifact (a real
+    # training loop runs steps back-to-back; benchmarks/common.py docstring)
     iters = 10
+
+    @jax.jit
+    def many(state, imgs, boxes, labels):
+        def body(carry, i):
+            s, key = carry
+            key, sk = jax.random.split(key)
+            s, m = step(s, imgs, boxes, labels, sk)  # jit-in-jit traces inline
+            return (s, key), m["loss"]
+
+        (state, _), losses = jax.lax.scan(
+            body, (state, jax.random.key(1)), jnp.arange(iters)
+        )
+        return losses[-1]
+
+    float(many(state, imgs, boxes, labels))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, imgs, boxes, labels, key)
-    float(m["loss"])
+    float(many(state, imgs, boxes, labels))
     dt = (time.perf_counter() - t0) / iters
     emit("config3_vgg16_train_step_batch8", BATCH / dt, "images/sec/chip")
 

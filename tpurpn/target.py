@@ -33,19 +33,32 @@ from .config import HyperParams
 
 
 def random_select_mask(
-    mask: jnp.ndarray, max_count, key: jax.Array
+    mask: jnp.ndarray, max_count, key: jax.Array, k_max: int | None = None
 ) -> jnp.ndarray:
     """Keep a uniformly-random subset of at most ``max_count`` True entries.
 
     ``mask`` is (..., N) bool; ``max_count`` is a scalar or broadcastable
     (...,) int. Mirrors the reference's ``randomly_select_xyz_mask`` (random
     ranking of masked entries, keep the first k).
+
+    ``k_max``: static upper bound on ``max_count``. When given, selection is
+    one ``lax.top_k(k_max)`` + scatter instead of two full argsorts over N —
+    the train-step callers bound it by hp.total_pos/neg_bboxes.
     """
     r = jax.random.uniform(key, mask.shape)
     scores = jnp.where(mask, r, -1.0)
+    limit = jnp.asarray(max_count)
+    if k_max is not None and k_max < mask.shape[-1]:
+        v, idx = jax.lax.top_k(scores, k_max)  # (..., k_max) descending
+        ranks = jnp.arange(k_max)
+        sel = (ranks < limit[..., None] if limit.ndim else ranks < limit) & (
+            v >= 0.0  # uniform r is >= 0; excluded entries carry -1
+        )
+        return jnp.put_along_axis(
+            jnp.zeros(mask.shape, bool), idx, sel, axis=-1, inplace=False
+        )
     order = jnp.argsort(-scores, axis=-1)
     ranks = jnp.argsort(order, axis=-1)  # rank of each entry in desc order
-    limit = jnp.asarray(max_count)
     if limit.ndim:
         limit = limit[..., None]
     return mask & (ranks < limit)
@@ -125,12 +138,17 @@ def calculate_rpn_actual_outputs(
     )  # (B, N)
     pos_mask = pos_mask | forced
 
-    pos_mask = random_select_mask(pos_mask, hp.total_pos_bboxes, pos_key)
+    pos_mask = random_select_mask(
+        pos_mask, hp.total_pos_bboxes, pos_key, k_max=hp.total_pos_bboxes
+    )
     pos_count = jnp.sum(pos_mask, axis=-1)  # (B,)
     neg_count = (hp.total_pos_bboxes + hp.total_neg_bboxes) - pos_count
 
     neg_mask = (merged_iou < hp.neg_threshold) & ~pos_mask
-    neg_mask = random_select_mask(neg_mask, neg_count, neg_key)
+    neg_mask = random_select_mask(
+        neg_mask, neg_count, neg_key,
+        k_max=hp.total_pos_bboxes + hp.total_neg_bboxes,
+    )
 
     labels = jnp.where(pos_mask, 1.0, jnp.where(neg_mask, 0.0, -1.0)).astype(
         jnp.float32
