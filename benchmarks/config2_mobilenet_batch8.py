@@ -8,7 +8,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-from benchmarks.common import emit, enable_compile_cache, time_dispatch_chained
+from benchmarks.common import emit, enable_compile_cache, time_scan_chained
 
 
 def main():
@@ -19,29 +19,36 @@ def main():
     from tpurpn import get_hyper_params
     from tpurpn.anchors import generate_anchors
     from tpurpn.data import SyntheticVOC, preprocess_batch
-    from tpurpn.model import get_model, init_model
-    from tpurpn.predict import decode_outputs, generate_proposals
+    from tpurpn.model import fold_batch_norm, get_model, init_model
+    from tpurpn.predict import decode_outputs_planes, generate_proposals_planes
 
     BATCH = 8
     hp = get_hyper_params("mobilenet_v2")
-    model = get_model(hp)
-    variables = init_model(model, jax.random.key(0))
+    model, variables = fold_batch_norm(
+        hp, init_model(get_model(hp), jax.random.key(0))
+    )
     anchors = generate_anchors(hp)
 
     ds = SyntheticVOC(num_samples=BATCH)
     raw_imgs, boxes, labels = next(ds.batches(BATCH))
     raw_imgs = jnp.asarray(raw_imgs)
 
-    @jax.jit
     def step(variables, raw, carry):
-        # on-device preprocessing included: uint8 -> resize 500x500
-        imgs, _ = preprocess_batch(raw, jnp.zeros((BATCH, 1, 4)), hp.img_size)
-        reg, cls = model.module.apply(variables, imgs + carry, train=False)
-        b, s = decode_outputs(anchors, reg, cls, hp)
-        out = generate_proposals(b, s, hp, topn=hp.test_nms_topn)
+        # on-device preprocessing included: uint8 -> bf16 [0,1] resize 500x500
+        imgs, _ = preprocess_batch(
+            raw, jnp.zeros((BATCH, 1, 4)), hp.img_size, dtype=jnp.bfloat16
+        )
+        reg, cls = model.module.apply(
+            variables, imgs + carry.astype(jnp.bfloat16), train=False
+        )
+        planes, s = decode_outputs_planes(anchors, reg, cls, hp)
+        out = generate_proposals_planes(planes, s, hp, topn=hp.test_nms_topn)
         return out["roi_scores"].mean() * 1e-6
 
-    dt = time_dispatch_chained(step, variables, raw_imgs, iters=10)
+    # scan-chained like the headline bench: device throughput (a serving
+    # deployment pipelines requests; the ~25 ms/dispatch tunnel is an
+    # artifact of this environment — benchmarks/common.py docstring)
+    dt = time_scan_chained(step, variables, raw_imgs, iters=30)
     emit(
         "config2_mobilenet_v2_batch8_e2e",
         BATCH / dt,
