@@ -20,18 +20,18 @@ and the output gathers. This kernel exploits measured facts about this TPU
 Per grid step (``group`` images, everything VMEM-resident):
 
   while any image needs boxes and blocks remain, per image:
-    1. GATHER the next `block` candidates' planes: one-hot(idx_block) matmul
-       over lane chunks of the unsorted planes (precision HIGHEST — one-hot x
-       value decomposed in bf16 passes is an exact f32 gather, verified
-       bit-for-bit by the parity tests);
+    1. GATHER the next `block` candidates' planes: one page-one-hot MXU
+       matmul + a lane mask-reduce (precision HIGH — one-hot x value in three
+       bf16 passes is an exact f32 gather; VPU multiplies are full f32 —
+       verified bit-for-bit by the parity tests);
     2. CROSS-SUPPRESS against the kept buffer — (block, buf) IoU sweep against
        at most max_output-1+block boxes (the round-1 kernel swept the entire
        processed *prefix*, kept or not);
     3. WITHIN-BLOCK greedy fixpoint via the MXU matvec (same scheme as
        kernels/nms_pallas.py);
     4. COMPACT: scatter kept boxes to their rank slot in the kept buffer with
-       a rank-one-hot matmul (ranks from a lower-triangular cumsum matvec).
-       Images already holding max_output keeps contribute dead lanes only.
+       a rank-one-hot VPU mask-reduce (ranks from a lower-triangular cumsum
+       matvec). Images already at max_output keeps contribute dead lanes only.
 
 Selection semantics are bit-identical to the jnp twin
 (``tpurpn.predict.generate_proposals_planes``) and therefore to the TF
@@ -56,15 +56,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _proposal_kernel(
-    planes_t_ref,  # (G, 1024, pages) f32: planes_t[a*128+l, p] = plane a of
-    #                box p*128+l — lane-transposed so a page one-hot gathers
-    #                whole 128-lane pages on the MXU (rows y1,x1,y2,x2,score)
+    planes_t_ref,  # (G, 3*640, pages) bf16: 3-way bf16 split (hi/mid/lo sum
+    #                exactly to the f32 value) of planes_t[a*128+l, p] =
+    #                plane a of box p*128+l — lane-transposed so a page
+    #                one-hot gathers whole 128-lane pages on the MXU
+    #                (rows y1,x1,y2,x2,score)
     idx_ref,  # (G, 1, pre_pad) i32: top_k candidate indices, descending score
     out_ref,  # (G, 8, out_pad) f32: rows 0-3 boxes, 4 score, 5 valid,
     #           6 num_valid, 7 kept_count — compacted, sorted order
     kept_scr,  # (G * 8, buf) f32: kept boxes, plane rows, row 5 = occupied
     blk_scr,  # (8, block) f32: gathered current block (reused across images)
-    page_scr,  # (1024, block) f32: page-gather output (reused across images)
+    page_scr,  # (640, block) f32: page-gather output (reused across images)
     *,
     iou_threshold: float,
     max_output: int,
@@ -77,9 +79,6 @@ def _proposal_kernel(
     group: int,
 ):
     num_blocks = pre_pad // block
-    # one-hot x f32 value needs >= 3 bf16 passes to be an exact gather
-    # (1.0 is exact in bf16; the value's bf16 split terms sum exactly)
-    highest = jax.lax.Precision.HIGHEST
 
     out_ref[...] = jnp.zeros_like(out_ref)
     kept_scr[...] = jnp.zeros((group * 8, buf), jnp.float32)
@@ -101,16 +100,22 @@ def _proposal_kernel(
         idx_row = idx_ref[g, 0:1, pl.ds(start, block)]  # (1, block) i32
         page_row = lax.shift_right_logical(idx_row, 7)  # idx // 128
         lane_row = lax.bitwise_and(idx_row, 127)  # idx % 128
-        onehot_page = (page_iota == page_row).astype(jnp.float32)  # (pages, blk)
-        # column j <- the whole 128-lane page holding candidate j, all 8 rows
-        page_scr[...] = jnp.dot(
+        onehot_page = (page_iota == page_row).astype(jnp.bfloat16)  # (pages, blk)
+        # column j <- the whole 128-lane page holding candidate j: ONE
+        # single-pass bf16 matmul over the 3-way split (Mosaic supports only
+        # DEFAULT/HIGHEST dot precision; a bf16 dot of exactly-representable
+        # parts accumulated in f32 is an exact f32 gather at 1/6 the passes)
+        split = jnp.dot(
             planes_t_ref[g],
             onehot_page,
             preferred_element_type=jnp.float32,
-            precision=highest,
-        )  # (1024, block)
+        )  # (1920, block)
+        page_scr[...] = (
+            split[0:640] + split[640:1280] + split[1280:1920]
+        )  # (640, block) — hi + mid + lo == the f32 value, exactly
         onehot_lane = (lane_iota == lane_row).astype(jnp.float32)  # (128, blk)
         for a in range(5):  # rows y1,x1,y2,x2,score (5-7 are zero)
+            # VPU multiplies are full f32 and exactly one term is nonzero
             blk_scr[a : a + 1, :] = jnp.sum(
                 page_scr[pl.ds(a * 128, 128), :] * onehot_lane,
                 axis=0,
@@ -171,10 +176,13 @@ def _proposal_kernel(
         rank = jnp.dot(lowtri, m, preferred_element_type=jnp.float32) + kept_count
         scatter = m * jnp.where(rank == buf_iota, 1.0, 0.0)  # (block, buf)
         blk_scr[5:6, :] = jnp.transpose(m)  # row 5 -> occupied flag
-        kept_scr[pl.ds(g * 8, 8), :] = kept_scr[pl.ds(g * 8, 8), :] + jnp.dot(
-            blk_scr[...], scatter,
-            preferred_element_type=jnp.float32, precision=highest,
-        )
+        # VPU mask-reduce scatter: exact f32 (a matmul here would need >= 3
+        # bf16 passes and K=block cycles per output tile — slower than VPU)
+        for a in range(6):  # rows y1..x2, score, occupied
+            col = jnp.transpose(blk_scr[a : a + 1, :])  # (block, 1)
+            kept_scr[g * 8 + a : g * 8 + a + 1, :] = kept_scr[
+                g * 8 + a : g * 8 + a + 1, :
+            ] + jnp.sum(scatter * col, axis=0, keepdims=True)
         return kept_count + jnp.sum(m)
 
     def body(state):
@@ -210,20 +218,28 @@ def _proposal_kernel(
 def pack_planes(box_planes: jnp.ndarray, scores: jnp.ndarray, n_pad: int):
     """(B, 4, N) planes + (B, N) scores -> the kernel's lane-transposed input.
 
-    Returns (B, 8*128, n_pad//128) with [b, a*128+l, p] = plane a of box
-    p*128+l: the layout where gathering a candidate = one page-one-hot matmul
-    (over p) plus a lane mask-reduce (over l) — see _proposal_kernel.
+    Returns (B, 3*5*128, n_pad//128) bf16 with the 3-way bf16 split
+    (hi, mid, lo — summing exactly to the f32 value: f32's 24-bit mantissa
+    decomposes into three 8-bit bf16 mantissas) of planes_t[a*128+l, p] =
+    plane a of box p*128+l (rows y1,x1,y2,x2,score): the layout where
+    gathering a candidate = one page-one-hot bf16 matmul (over p) plus a lane
+    mask-reduce (over l) — see _proposal_kernel.
     """
     B, _, N = box_planes.shape
     pages = n_pad // 128
-    planes = jnp.zeros((B, 8, n_pad), jnp.float32)
+    planes = jnp.zeros((B, 5, n_pad), jnp.float32)
     planes = planes.at[:, :4, :N].set(box_planes.astype(jnp.float32))
     planes = planes.at[:, 4, :N].set(scores.astype(jnp.float32))
-    return (
-        planes.reshape(B, 8, pages, 128)
+    pt = (
+        planes.reshape(B, 5, pages, 128)
         .transpose(0, 1, 3, 2)
-        .reshape(B, 8 * 128, pages)
+        .reshape(B, 5 * 128, pages)
     )
+    hi = pt.astype(jnp.bfloat16)
+    r1 = pt - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid, lo], axis=1)  # (B, 1920, pages)
 
 
 @functools.partial(
@@ -249,7 +265,7 @@ def fused_proposals_packed(
     """
     B, rows, pages = planes_t.shape
     N = scores.shape[1]
-    assert rows == 1024 and pre <= N <= pages * 128, (rows, pre, N, pages)
+    assert rows == 1920 and pre <= N <= pages * 128, (rows, pre, N, pages)
     pre_pad = _round_up(pre, block)
     buf = _round_up(max_output - 1 + block, 128)
     out_pad = _round_up(max_output, 128)
@@ -277,7 +293,7 @@ def fused_proposals_packed(
         grid=(B // group,),
         in_specs=[
             pl.BlockSpec(
-                (group, 1024, pages), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                (group, 1920, pages), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (group, 1, pre_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -290,7 +306,7 @@ def fused_proposals_packed(
         scratch_shapes=[
             pltpu.VMEM((group * 8, buf), jnp.float32),
             pltpu.VMEM((8, block), jnp.float32),
-            pltpu.VMEM((1024, block), jnp.float32),
+            pltpu.VMEM((640, block), jnp.float32),
         ],
         interpret=interpret,
     )(planes_t, idx_pad)
