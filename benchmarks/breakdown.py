@@ -25,7 +25,8 @@ def main(batch=128):
     from tpurpn.data import preprocess_batch
     from tpurpn.kernels.nms_pallas import nms_pallas_keep_planes
     from tpurpn.model import fold_batch_norm, get_model, init_model
-    from tpurpn.predict import decode_outputs_planes, generate_proposals_planes
+    from tpurpn.predict import (decode_outputs_packed, decode_outputs_planes,
+                                generate_proposals_packed, generate_proposals_planes)
 
     hp = get_hyper_params("mobilenet_v2")
     model, variables = fold_batch_norm(hp, init_model(get_model(hp), jax.random.key(0)))
@@ -74,8 +75,8 @@ def main(batch=128):
 
     def e2e(variables, images, c):
         reg, cls = model.module.apply(variables, images + c, train=False)
-        planes, scores = decode_outputs_planes(anchors, reg, cls, hp)
-        out = generate_proposals_planes(planes, scores, hp, topn=hp.test_nms_topn)
+        planes_t, scores = decode_outputs_packed(anchors, reg, cls, hp)
+        out = generate_proposals_packed(planes_t, scores, hp, topn=hp.test_nms_topn)
         return out["roi_scores"].mean() * 1e-6
 
     def e2e_preprocess(variables, raw, c):

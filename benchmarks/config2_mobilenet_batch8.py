@@ -20,7 +20,8 @@ def main():
     from tpurpn.anchors import generate_anchors
     from tpurpn.data import SyntheticVOC, preprocess_batch
     from tpurpn.model import fold_batch_norm, get_model, init_model
-    from tpurpn.predict import decode_outputs_planes, generate_proposals_planes
+    from tpurpn.predict import (decode_outputs_packed, decode_outputs_planes,
+                                generate_proposals_packed, generate_proposals_planes)
 
     BATCH = 8
     hp = get_hyper_params("mobilenet_v2")
@@ -41,8 +42,8 @@ def main():
         reg, cls = model.module.apply(
             variables, imgs + carry.astype(jnp.bfloat16), train=False
         )
-        planes, s = decode_outputs_planes(anchors, reg, cls, hp)
-        out = generate_proposals_planes(planes, s, hp, topn=hp.test_nms_topn)
+        planes_t, s = decode_outputs_packed(anchors, reg, cls, hp)
+        out = generate_proposals_packed(planes_t, s, hp, topn=hp.test_nms_topn)
         return out["roi_scores"].mean() * 1e-6
 
     # scan-chained like the headline bench: device throughput (a serving

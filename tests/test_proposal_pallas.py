@@ -101,6 +101,115 @@ def test_fewer_candidates_than_topn(rng):
     )
 
 
+def test_packed_decode_jitted_pipeline_exact(rng):
+    """decode_outputs_packed + kernel inside ONE jit must stay bit-exact.
+
+    Regression: XLA's excess-precision optimization elides f32->bf16->f32
+    round-trips when the whole pipeline is fused into one program, which
+    silently degraded the 3-way bf16 split to plain bf16 truncation of the
+    box coordinates (caught on TPU; the split now uses integer bit-masking).
+    """
+    import jax
+
+    from tpurpn.anchors import generate_anchors
+    from tpurpn.predict import decode_outputs, decode_outputs_packed
+
+    hp = HP
+    anchors = generate_anchors(hp)
+    N = hp.total_anchors
+    reg = (rng.standard_normal((2, hp.feature_map_shape, hp.feature_map_shape,
+                                4 * hp.anchor_count)) * 0.2).astype(np.float32)
+    cls = rng.standard_normal(
+        (2, hp.feature_map_shape, hp.feature_map_shape, hp.anchor_count)
+    ).astype(np.float32)
+
+    @jax.jit
+    def fused(reg, cls):
+        planes_t, scores = decode_outputs_packed(anchors, reg, cls, hp)
+        from tpurpn.kernels.proposal_pallas import fused_proposals_packed
+
+        return fused_proposals_packed(
+            planes_t, scores, pre=min(hp.pre_nms_topn, N),
+            iou_threshold=hp.nms_iou_threshold, max_output=100,
+            interpret=True,
+        )
+
+    got = fused(jnp.asarray(reg), jnp.asarray(cls))
+    boxes, scores = decode_outputs(anchors, jnp.asarray(reg), jnp.asarray(cls), hp)
+    ref = generate_proposals(boxes, scores, hp, topn=100)
+    np.testing.assert_array_equal(
+        np.asarray(ref["num_valid"]), np.asarray(got["num_valid"])
+    )
+    # the two decode paths are separate XLA programs, so the f32 box math may
+    # differ by 1 ulp (fma fusion); bf16 truncation (the regression) is ~1e-3
+    np.testing.assert_allclose(
+        np.asarray(ref["roi_boxes"]), np.asarray(got["roi_boxes"]), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["roi_scores"]), np.asarray(got["roi_scores"]), atol=1e-7
+    )
+
+
+def test_split_bf16_3way_exact_inside_jit(rng):
+    """hi+mid+lo must reconstruct the f32 value EXACTLY even when the split
+    and the consumer fuse into one XLA program (the excess-precision trap)."""
+    import jax
+
+    from tpurpn.kernels.proposal_pallas import split_bf16_3way
+
+    x = jnp.asarray(
+        (rng.standard_normal((4, 640)) * rng.choice([1e-6, 1.0, 1e6], (4, 1)))
+        .astype(np.float32)
+    )
+
+    @jax.jit
+    def roundtrip(x):
+        s = split_bf16_3way(x)
+        return (
+            s[..., :640].astype(jnp.float32)
+            + s[..., 640:1280].astype(jnp.float32)
+            + s[..., 1280:].astype(jnp.float32)
+        )
+
+    np.testing.assert_array_equal(np.asarray(roundtrip(x)), np.asarray(x))
+
+
+@pytest.mark.tpu
+def test_packed_decode_jitted_pipeline_exact_on_device(rng):
+    """The same one-jit fused pipeline, non-interpreted on the real TPU."""
+    import jax
+
+    from tpurpn.anchors import generate_anchors
+    from tpurpn.predict import (
+        decode_outputs,
+        decode_outputs_packed,
+        generate_proposals_packed,
+    )
+
+    hp = HP
+    anchors = generate_anchors(hp)
+    reg = (rng.standard_normal((4, hp.feature_map_shape, hp.feature_map_shape,
+                                4 * hp.anchor_count)) * 0.2).astype(np.float32)
+    cls = rng.standard_normal(
+        (4, hp.feature_map_shape, hp.feature_map_shape, hp.anchor_count)
+    ).astype(np.float32)
+
+    @jax.jit
+    def fused(reg, cls):
+        planes_t, scores = decode_outputs_packed(anchors, reg, cls, hp)
+        return generate_proposals_packed(planes_t, scores, hp, topn=300)
+
+    got = fused(jnp.asarray(reg), jnp.asarray(cls))
+    boxes, scores = decode_outputs(anchors, jnp.asarray(reg), jnp.asarray(cls), hp)
+    ref = generate_proposals(boxes, scores, hp, topn=300)
+    np.testing.assert_array_equal(
+        np.asarray(ref["num_valid"]), np.asarray(got["num_valid"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["roi_boxes"]), np.asarray(got["roi_boxes"]), atol=0
+    )
+
+
 @pytest.mark.tpu
 def test_random_parity_on_device(rng):
     """Non-interpreted kernel vs the jnp pipeline on the real TPU."""

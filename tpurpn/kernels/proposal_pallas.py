@@ -1,37 +1,43 @@
 """Fused proposal selection: block-lazy gather + greedy NMS + compaction.
 
-The round-2 replacement for the post-forward tail of the predictor
-(reference: rpn_predictor.py decode -> top-k -> tf.image.non_max_suppression
--> selected proposals, SURVEY.md §3.2). The round-1 pipeline spent ~6 ms/batch
-(B=128) on a 5-operand ``lax.sort`` carrying box planes, the NMS keep kernel,
-and the output gathers. This kernel exploits measured facts about this TPU
+The replacement for the post-forward tail of the predictor (reference:
+rpn_predictor.py decode -> top-k -> tf.image.non_max_suppression -> selected
+proposals, SURVEY.md §3.2). The round-1 pipeline spent ~6 ms/batch (B=128) on
+a 5-operand ``lax.sort`` carrying box planes, the NMS keep kernel, and the
+output gathers. This kernel exploits measured facts about this TPU
 (benchmarks/exp_sort.py, benchmarks/breakdown.py):
 
 * ``lax.top_k(scores, pre)`` is ~4x cheaper than the payload-carrying sort
   (0.97 vs 3.8 ms at B=128) — so sort **indices only**;
 * XLA lane gathers on (B, 4, N) planes are hopeless (7.5 ms), and Mosaic has
   no dynamic lane gather — but a one-hot **MXU matmul is an exact gather**:
-  ``planes @ onehot(idx)`` touches only MXU+VPU, and greedy NMS early-exits
+  ``onehot(idx) @ planes`` touches only MXU+VPU, and greedy NMS early-exits
   after ~max_output keeps, so only the few blocks actually processed are ever
   gathered (the sort moved ALL 5 operands for all N candidates);
 * per-grid-step overhead is ~8 us on this TPU, so one grid step handles
-  ``group`` images (predicated on each image's kept count) instead of one.
+  ``group`` images (predicated on each image's kept count) instead of one;
+* the serial cost drivers at small shapes are lane<->sublane transposes and
+  while_loop round-trips, so candidates live **column-major** ((block, 1)
+  coordinate columns — zero transposes past the index load) and the greedy
+  fixpoint runs **jointly over the whole image group** (one while_loop whose
+  iteration count is the max chain depth over the group, not the sum: on
+  decoded RPN grids this is ~4x fewer loop syncs).
 
-Per grid step (``group`` images, everything VMEM-resident):
+Per grid step (``group`` images, everything VMEM-resident), while any image
+in the group needs boxes and blocks remain:
 
-  while any image needs boxes and blocks remain, per image:
-    1. GATHER the next `block` candidates' planes: one page-one-hot MXU
-       matmul + a lane mask-reduce (precision HIGH — one-hot x value in three
-       bf16 passes is an exact f32 gather; VPU multiplies are full f32 —
-       verified bit-for-bit by the parity tests);
-    2. CROSS-SUPPRESS against the kept buffer — (block, buf) IoU sweep against
-       at most max_output-1+block boxes (the round-1 kernel swept the entire
-       processed *prefix*, kept or not);
-    3. WITHIN-BLOCK greedy fixpoint via the MXU matvec (same scheme as
-       kernels/nms_pallas.py);
-    4. COMPACT: scatter kept boxes to their rank slot in the kept buffer with
-       a rank-one-hot VPU mask-reduce (ranks from a lower-triangular cumsum
-       matvec). Images already at max_output keeps contribute dead lanes only.
+  1. GATHER each image's next `block` candidates: a page-one-hot bf16 MXU
+     matmul against the 3-way bf16-split planes (hi+mid+lo parts sum exactly
+     to the f32 value — Mosaic supports only DEFAULT/HIGHEST dot precision,
+     and HIGHEST costs 6 MXU passes) + a per-page lane mask-reduce. Exact f32,
+     verified bit-for-bit on device.
+  2. CROSS-SUPPRESS against the image's kept buffer — (block, buf) IoU sweep
+     against at most max_output-1+block boxes.
+  3. JOINT greedy fixpoint: one while_loop carries every image's keep mask;
+     each iteration is `group` independent (block, block) MXU matvecs.
+  4. COMPACT: scatter kept boxes to their rank slot in the kept buffer with a
+     rank-one-hot VPU mask-reduce (ranks from a lower-triangular cumsum
+     matvec). Images already at max_output keeps contribute dead lanes only.
 
 Selection semantics are bit-identical to the jnp twin
 (``tpurpn.predict.generate_proposals_planes``) and therefore to the TF
@@ -56,17 +62,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _proposal_kernel(
-    planes_t_ref,  # (G, 3*640, pages) bf16: 3-way bf16 split (hi/mid/lo sum
-    #                exactly to the f32 value) of planes_t[a*128+l, p] =
-    #                plane a of box p*128+l — lane-transposed so a page
-    #                one-hot gathers whole 128-lane pages on the MXU
-    #                (rows y1,x1,y2,x2,score)
+    planes_t_ref,  # (G, pages, 3*640) bf16: 3-way bf16 split (hi/mid/lo sum
+    #                exactly to the f32 value) of planes_t[p, a*128+l] =
+    #                plane a of box p*128+l (a: y1,x1,y2,x2,score) — so a
+    #                page one-hot gathers whole 128-lane pages on the MXU
     idx_ref,  # (G, 1, pre_pad) i32: top_k candidate indices, descending score
     out_ref,  # (G, 8, out_pad) f32: rows 0-3 boxes, 4 score, 5 valid,
     #           6 num_valid, 7 kept_count — compacted, sorted order
     kept_scr,  # (G * 8, buf) f32: kept boxes, plane rows, row 5 = occupied
-    blk_scr,  # (8, block) f32: gathered current block (reused across images)
-    page_scr,  # (640, block) f32: page-gather output (reused across images)
     *,
     iou_threshold: float,
     max_output: int,
@@ -83,51 +86,49 @@ def _proposal_kernel(
     out_ref[...] = jnp.zeros_like(out_ref)
     kept_scr[...] = jnp.zeros((group * 8, buf), jnp.float32)
 
-    # strictly-lower-triangular (i < j) masks for rank cumsum + greedy matvec
+    # strictly-lower-triangular (j < i) mask: rank cumsum + greedy matvec
     row_ids = lax.broadcasted_iota(jnp.int32, (block, block), 0)
     col_ids = lax.broadcasted_iota(jnp.int32, (block, block), 1)
     lowtri = (col_ids < row_ids).astype(jnp.float32)
 
-    page_iota = lax.broadcasted_iota(jnp.int32, (pages, block), 0)  # rows
-    lane_iota = lax.broadcasted_iota(jnp.int32, (128, block), 0)  # rows
-    # Mosaic has no f32 iota — build i32 and convert
+    page_iota = lax.broadcasted_iota(jnp.int32, (block, pages), 1)  # cols
+    lane_iota = lax.bitwise_and(
+        lax.broadcasted_iota(jnp.int32, (block, 640), 1), 127
+    )  # lane within each 128-wide page group
     buf_iota = lax.broadcasted_iota(jnp.int32, (block, buf), 1).astype(jnp.float32)
     pos_iota = lax.broadcasted_iota(jnp.int32, (block, 1), 0)
 
-    def one_image(g, b, start, kept_count):
-        """One block of image g; returns its new kept_count."""
-        # ---- 1. two-level gather: page one-hot matmul + lane mask-reduce --
-        idx_row = idx_ref[g, 0:1, pl.ds(start, block)]  # (1, block) i32
-        page_row = lax.shift_right_logical(idx_row, 7)  # idx // 128
-        lane_row = lax.bitwise_and(idx_row, 127)  # idx % 128
-        onehot_page = (page_iota == page_row).astype(jnp.bfloat16)  # (pages, blk)
-        # column j <- the whole 128-lane page holding candidate j: ONE
-        # single-pass bf16 matmul over the 3-way split (Mosaic supports only
-        # DEFAULT/HIGHEST dot precision; a bf16 dot of exactly-representable
-        # parts accumulated in f32 is an exact f32 gather at 1/6 the passes)
-        split = jnp.dot(
-            planes_t_ref[g],
-            onehot_page,
-            preferred_element_type=jnp.float32,
-        )  # (1920, block)
-        page_scr[...] = (
-            split[0:640] + split[640:1280] + split[1280:1920]
-        )  # (640, block) — hi + mid + lo == the f32 value, exactly
-        onehot_lane = (lane_iota == lane_row).astype(jnp.float32)  # (128, blk)
-        for a in range(5):  # rows y1,x1,y2,x2,score (5-7 are zero)
-            # VPU multiplies are full f32 and exactly one term is nonzero
-            blk_scr[a : a + 1, :] = jnp.sum(
-                page_scr[pl.ds(a * 128, 128), :] * onehot_lane,
-                axis=0,
-                keepdims=True,
-            )
-        blk_scr[5:8, :] = jnp.zeros((3, block), jnp.float32)
+    def gather_and_mask(g, start, kept_count):
+        """Gather image g's candidates [start, start+block) as coordinate
+        columns and compute the cross-suppressed alive mask.
 
-        y1c = jnp.transpose(blk_scr[0:1, :])  # (block, 1)
-        x1c = jnp.transpose(blk_scr[1:2, :])
-        y2c = jnp.transpose(blk_scr[2:3, :])
-        x2c = jnp.transpose(blk_scr[3:4, :])
+        Returns (y1c, x1c, y2c, x2c, scorec, area_c, alive_f) — all (block, 1).
+        """
+        # ---- 1. two-level gather: page one-hot matmul + lane mask-reduce --
+        idx_col = jnp.transpose(idx_ref[g, 0:1, pl.ds(start, block)])  # (blk,1)
+        page_col = lax.shift_right_logical(idx_col, 7)  # idx // 128
+        lane_col = lax.bitwise_and(idx_col, 127)  # idx % 128
+        onehot = (page_iota == page_col).astype(jnp.bfloat16)  # (block, pages)
+        # row j <- the whole 640-lane page row holding candidate j: ONE
+        # single-pass bf16 matmul over the 3-way split; exactly one operand
+        # row is selected per output row, accumulated in f32 -> exact gather
+        split = jnp.dot(
+            onehot, planes_t_ref[g], preferred_element_type=jnp.float32
+        )  # (block, 1920)
+        paged = (
+            split[:, 0:640] + split[:, 640:1280] + split[:, 1280:1920]
+        )  # (block, 640) — hi + mid + lo == the f32 value, exactly
+        lanemask = (lane_iota == lane_col).astype(jnp.float32)  # (block, 640)
+        picked = paged * lanemask
+        # per-coordinate lane reduce: column j of plane a = the one nonzero
+        # lane in picked[:, a*128:(a+1)*128] (VPU f32, exact)
+        cols = [
+            jnp.sum(picked[:, a * 128 : (a + 1) * 128], axis=1, keepdims=True)
+            for a in range(5)
+        ]
+        y1c, x1c, y2c, x2c, scorec = cols
         area_c = jnp.maximum(y2c - y1c, 0.0) * jnp.maximum(x2c - x1c, 0.0)
+
         # dead lanes: candidates past the real top-k length, or the whole
         # block once this image already has max_output keeps (early exit)
         alive = ((start + pos_iota) < pre) & (kept_count < max_output)
@@ -145,53 +146,84 @@ def _proposal_kernel(
         union = jnp.maximum(area_c + area_r - inter, 1e-8)
         hit = jnp.where((inter / union > iou_threshold) & (occ > 0.5), 1.0, 0.0)
         alive = alive & (jnp.sum(hit, axis=1, keepdims=True) == 0.0)
+        return y1c, x1c, y2c, x2c, scorec, area_c, jnp.where(alive, 1.0, 0.0)
 
-        # ---- 3. within-block greedy fixpoint (MXU matvec) ------------------
-        ih_b = jnp.maximum(
-            jnp.minimum(y2c, jnp.transpose(y2c)) - jnp.maximum(y1c, jnp.transpose(y1c)),
+    def over_matrix(y1c, x1c, y2c, x2c, area_c):
+        """(block, block) strictly-lower-triangular overlap (IoU > thr)."""
+        ih = jnp.maximum(
+            jnp.minimum(y2c, jnp.transpose(y2c))
+            - jnp.maximum(y1c, jnp.transpose(y1c)),
             0.0,
         )
-        iw_b = jnp.maximum(
-            jnp.minimum(x2c, jnp.transpose(x2c)) - jnp.maximum(x1c, jnp.transpose(x1c)),
+        iw = jnp.maximum(
+            jnp.minimum(x2c, jnp.transpose(x2c))
+            - jnp.maximum(x1c, jnp.transpose(x1c)),
             0.0,
         )
-        inter_b = ih_b * iw_b
-        union_b = jnp.maximum(area_c + jnp.transpose(area_c) - inter_b, 1e-8)
-        over_low = jnp.where(inter_b / union_b > iou_threshold, 1.0, 0.0) * lowtri
-        alive_f = jnp.where(alive, 1.0, 0.0)
-
-        def fix_cond(c):
-            return c[1]
-
-        def fix_body(c):
-            m, _ = c
-            sup = jnp.dot(over_low, m, preferred_element_type=jnp.float32) > 0.0
-            m_new = alive_f * jnp.where(sup, 0.0, 1.0)
-            return m_new, jnp.any(m_new != m)
-
-        m, _ = lax.while_loop(fix_cond, fix_body, (alive_f, True))  # (block, 1)
-
-        # ---- 4. compact kept boxes into their rank slots -------------------
-        # rank within kept order = kept_count + exclusive cumsum of m
-        rank = jnp.dot(lowtri, m, preferred_element_type=jnp.float32) + kept_count
-        scatter = m * jnp.where(rank == buf_iota, 1.0, 0.0)  # (block, buf)
-        blk_scr[5:6, :] = jnp.transpose(m)  # row 5 -> occupied flag
-        # VPU mask-reduce scatter: exact f32 (a matmul here would need >= 3
-        # bf16 passes and K=block cycles per output tile — slower than VPU)
-        for a in range(6):  # rows y1..x2, score, occupied
-            col = jnp.transpose(blk_scr[a : a + 1, :])  # (block, 1)
-            kept_scr[g * 8 + a : g * 8 + a + 1, :] = kept_scr[
-                g * 8 + a : g * 8 + a + 1, :
-            ] + jnp.sum(scatter * col, axis=0, keepdims=True)
-        return kept_count + jnp.sum(m)
+        inter = ih * iw
+        union = jnp.maximum(area_c + jnp.transpose(area_c) - inter, 1e-8)
+        return jnp.where(inter / union > iou_threshold, 1.0, 0.0) * lowtri
 
     def body(state):
         b = state[0]
         start = pl.multiple_of(b * block, block)
-        kept = tuple(
-            one_image(g, b, start, state[1 + g]) for g in range(group)
-        )
-        return (b + 1,) + kept
+        kept_counts = state[1:]
+
+        boxes = []  # per image: (y1c, x1c, y2c, x2c, scorec)
+        overs = []
+        alives = []
+        for g in range(group):
+            y1c, x1c, y2c, x2c, scorec, area_c, alive_f = gather_and_mask(
+                g, start, kept_counts[g]
+            )
+            boxes.append((y1c, x1c, y2c, x2c, scorec))
+            overs.append(over_matrix(y1c, x1c, y2c, x2c, area_c))
+            alives.append(alive_f)
+
+        # ---- 3. JOINT within-block greedy fixpoint over the whole group ---
+        # one while_loop for all `group` images: iterations = max suppression
+        # chain depth over the group (not the sum); the `group` matvecs per
+        # iteration are independent and pipeline on the MXU
+        def fix_cond(c):
+            return c[-1]
+
+        def fix_body(c):
+            ms = c[:-1]
+            new = tuple(
+                alives[g]
+                * jnp.where(
+                    jnp.dot(overs[g], ms[g], preferred_element_type=jnp.float32)
+                    > 0.0,
+                    0.0,
+                    1.0,
+                )
+                for g in range(group)
+            )
+            changed = jnp.any(new[0] != ms[0])
+            for g in range(1, group):
+                changed = changed | jnp.any(new[g] != ms[g])
+            return new + (changed,)
+
+        fixed = lax.while_loop(fix_cond, fix_body, tuple(alives) + (True,))
+        masks = fixed[:-1]
+
+        # ---- 4. compact kept boxes into their rank slots -------------------
+        new_counts = []
+        for g in range(group):
+            m = masks[g]  # (block, 1)
+            kept_count = kept_counts[g]
+            # rank within kept order = kept_count + exclusive cumsum of m
+            rank = jnp.dot(lowtri, m, preferred_element_type=jnp.float32) + kept_count
+            scatter = m * jnp.where(rank == buf_iota, 1.0, 0.0)  # (block, buf)
+            cols = boxes[g] + (m,)  # rows y1..x2, score, occupied
+            for a in range(6):
+                # VPU mask-reduce scatter: exact f32 (a matmul here would need
+                # >= 3 bf16 passes and K=block cycles per output tile)
+                kept_scr[g * 8 + a : g * 8 + a + 1, :] = kept_scr[
+                    g * 8 + a : g * 8 + a + 1, :
+                ] + jnp.sum(scatter * cols[a], axis=0, keepdims=True)
+            new_counts.append(kept_count + jnp.sum(m))
+        return (b + 1,) + tuple(new_counts)
 
     def cond(state):
         b = state[0]
@@ -215,15 +247,44 @@ def _proposal_kernel(
         out_ref[g, 7:8, :] = jnp.full((1, out_pad), kept_count, jnp.float32)
 
 
-def pack_planes(box_planes: jnp.ndarray, scores: jnp.ndarray, n_pad: int):
-    """(B, 4, N) planes + (B, N) scores -> the kernel's lane-transposed input.
+def split_bf16_3way(pt: jnp.ndarray) -> jnp.ndarray:
+    """f32 (…, 640) -> bf16 (…, 1920): hi/mid/lo parts summing exactly to the
+    f32 value (f32's 24-bit mantissa decomposes into three 8-bit bf16
+    mantissas) — the kernel's exact-gather operand format.
 
-    Returns (B, 3*5*128, n_pad//128) bf16 with the 3-way bf16 split
+    The parts are carved out by INTEGER bit-masking (bf16 = the top 16 bits of
+    the f32 pattern), not by f32->bf16->f32 round-trips: inside a jitted
+    program XLA's excess-precision optimization (on by default) elides such
+    round-trips, which silently turns the "exact" split into plain bf16
+    truncation of the boxes. Integer ops have no excess-precision semantics,
+    so the decomposition survives any fusion.
+    """
+    bits = lax.bitcast_convert_type(pt, jnp.uint32)
+    hi = lax.bitcast_convert_type(
+        lax.bitwise_and(bits, jnp.uint32(0xFFFF0000)), jnp.float32
+    )
+    r1 = pt - hi  # exact: low 16 mantissa bits of pt
+    r1b = lax.bitcast_convert_type(r1, jnp.uint32)
+    mid = lax.bitcast_convert_type(
+        lax.bitwise_and(r1b, jnp.uint32(0xFFFF0000)), jnp.float32
+    )
+    lo = r1 - mid  # exact: <= 8 significant bits remain
+    # each part's value is bf16-representable (top-16-bit patterns), so these
+    # casts are exact
+    return jnp.concatenate(
+        [p.astype(jnp.bfloat16) for p in (hi, mid, lo)], axis=-1
+    )
+
+
+def pack_planes(box_planes: jnp.ndarray, scores: jnp.ndarray, n_pad: int):
+    """(B, 4, N) planes + (B, N) scores -> the kernel's page-major input.
+
+    Returns (B, n_pad//128, 3*5*128) bf16 with the 3-way bf16 split
     (hi, mid, lo — summing exactly to the f32 value: f32's 24-bit mantissa
-    decomposes into three 8-bit bf16 mantissas) of planes_t[a*128+l, p] =
-    plane a of box p*128+l (rows y1,x1,y2,x2,score): the layout where
-    gathering a candidate = one page-one-hot bf16 matmul (over p) plus a lane
-    mask-reduce (over l) — see _proposal_kernel.
+    decomposes into three 8-bit bf16 mantissas) of planes_t[p, a*128+l] =
+    plane a of box p*128+l (a: y1,x1,y2,x2,score): the layout where gathering
+    a candidate = one page-one-hot bf16 matmul row-select (over p) plus a
+    lane mask-reduce (over l) — see _proposal_kernel.
     """
     B, _, N = box_planes.shape
     pages = n_pad // 128
@@ -232,14 +293,10 @@ def pack_planes(box_planes: jnp.ndarray, scores: jnp.ndarray, n_pad: int):
     planes = planes.at[:, 4, :N].set(scores.astype(jnp.float32))
     pt = (
         planes.reshape(B, 5, pages, 128)
-        .transpose(0, 1, 3, 2)
-        .reshape(B, 5 * 128, pages)
+        .transpose(0, 2, 1, 3)
+        .reshape(B, pages, 5 * 128)
     )
-    hi = pt.astype(jnp.bfloat16)
-    r1 = pt - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([hi, mid, lo], axis=1)  # (B, 1920, pages)
+    return split_bf16_3way(pt)  # (B, pages, 1920)
 
 
 @functools.partial(
@@ -254,16 +311,16 @@ def fused_proposals_packed(
     pre: int,
     iou_threshold: float,
     max_output: int,
-    block: int = 256,
+    block: int = 128,
     group: int = 8,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """Kernel entry on pre-packed lane-transposed planes (:func:`pack_planes`).
+    """Kernel entry on pre-packed page-major planes (:func:`pack_planes`).
 
     The packed layout lets callers (decode) fuse the packing into upstream
     XLA ops instead of paying a separate ~0.8 ms materialization at B=128.
     """
-    B, rows, pages = planes_t.shape
+    B, pages, rows = planes_t.shape
     N = scores.shape[1]
     assert rows == 1920 and pre <= N <= pages * 128, (rows, pre, N, pages)
     pre_pad = _round_up(pre, block)
@@ -293,7 +350,7 @@ def fused_proposals_packed(
         grid=(B // group,),
         in_specs=[
             pl.BlockSpec(
-                (group, 1920, pages), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                (group, pages, 1920), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (group, 1, pre_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -305,8 +362,6 @@ def fused_proposals_packed(
         out_shape=jax.ShapeDtypeStruct((B, 8, out_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((group * 8, buf), jnp.float32),
-            pltpu.VMEM((8, block), jnp.float32),
-            pltpu.VMEM((640, block), jnp.float32),
         ],
         interpret=interpret,
     )(planes_t, idx_pad)
@@ -324,7 +379,7 @@ def fused_proposals_planes(
     pre: int,
     iou_threshold: float,
     max_output: int,
-    block: int = 256,
+    block: int = 128,
     group: int = 8,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:

@@ -120,12 +120,77 @@ def decode_outputs_planes(
     return planes, scores
 
 
+def decode_outputs_packed(
+    anchors: jnp.ndarray,
+    rpn_reg: jnp.ndarray,
+    rpn_cls_logits: jnp.ndarray,
+    hp: HyperParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode head outputs straight into the NMS kernel's packed page-major
+    layout: ((B, n_pad//128, 1920) bf16-split planes, (B, N) scores).
+
+    Same math as :func:`decode_outputs_planes` + kernels.proposal_pallas.
+    pack_planes, but builds the (B, pages, 640) layout with free reshapes and
+    a lane concat instead of materializing (B, 4, N) and transposing it
+    (~0.2 ms saved at B=128).
+    """
+    from .kernels.proposal_pallas import split_bf16_3way
+
+    B = rpn_reg.shape[0]
+    deltas = rpn_reg.reshape(B, -1, 4) * jnp.asarray(hp.variances, jnp.float32)
+    scores = jax.nn.sigmoid(rpn_cls_logits.reshape(B, -1))
+    N = scores.shape[1]
+    n_pad = ((N + 1023) // 1024) * 1024
+    pages = n_pad // 128
+    a_h = anchors[:, 2] - anchors[:, 0]
+    a_w = anchors[:, 3] - anchors[:, 1]
+    a_cy = anchors[:, 0] + 0.5 * a_h
+    a_cx = anchors[:, 1] + 0.5 * a_w
+    h = jnp.exp(deltas[..., 2]) * a_h
+    w = jnp.exp(deltas[..., 3]) * a_w
+    cy = deltas[..., 0] * a_h + a_cy
+    cx = deltas[..., 1] * a_w + a_cx
+    coords = (cy - 0.5 * h, cx - 0.5 * w, cy + 0.5 * h, cx + 0.5 * w, scores)
+    pad = n_pad - N
+    # (B, N) -> (B, pages, 128) is a free row-major reshape; lane-concat the
+    # five planes into the page rows
+    pt = jnp.concatenate(
+        [
+            jnp.pad(c.astype(jnp.float32), ((0, 0), (0, pad))).reshape(
+                B, pages, 128
+            )
+            for c in coords
+        ],
+        axis=2,
+    )  # (B, pages, 640)
+    return split_bf16_3way(pt), scores
+
+
+def generate_proposals_packed(
+    planes_t: jnp.ndarray,
+    scores: jnp.ndarray,
+    hp: HyperParams,
+    topn: int,
+    block: int = 128,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Proposal selection on :func:`decode_outputs_packed` outputs."""
+    from .kernels.proposal_pallas import fused_proposals_packed
+
+    N = scores.shape[1]
+    return fused_proposals_packed(
+        planes_t, scores, pre=min(hp.pre_nms_topn, N),
+        iou_threshold=float(hp.nms_iou_threshold), max_output=topn,
+        block=block, interpret=interpret,
+    )
+
+
 def generate_proposals_planes(
     box_planes: jnp.ndarray,
     scores: jnp.ndarray,
     hp: HyperParams,
     topn: int,
-    block: int = 256,
+    block: int = 128,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """TPU fast path of :func:`generate_proposals` on plane-layout boxes.
@@ -161,8 +226,8 @@ def make_predict_fn(model, hp: HyperParams, topn: int | None = None):
     def predict(variables, images):
         rpn_reg, rpn_cls_logits = model.module.apply(variables, images, train=False)
         if use_planes:
-            planes, scores = decode_outputs_planes(anchors, rpn_reg, rpn_cls_logits, hp)
-            return generate_proposals_planes(planes, scores, hp, topn=out_topn)
+            planes_t, scores = decode_outputs_packed(anchors, rpn_reg, rpn_cls_logits, hp)
+            return generate_proposals_packed(planes_t, scores, hp, topn=out_topn)
         boxes, scores = decode_outputs(anchors, rpn_reg, rpn_cls_logits, hp)
         return generate_proposals(boxes, scores, hp, topn=out_topn)
 
