@@ -1,9 +1,10 @@
 """BASELINE config 3: VGG16 RPN training step — IoU matching + smooth-L1/BCE.
 
-    python benchmarks/config3_vgg16_train_step.py
+    python benchmarks/config3_vgg16_train_step.py [batch]
 
 One fused jitted step (on-device preprocess + target assignment + fwd/bwd +
-SGD) at batch 8, VOC-style synthetic data. BASELINE.json:9.
+SGD), VOC-style synthetic data; batch 8 default (BASELINE.json:9 fixes no
+batch — larger batches amortize better, see BASELINE.md).
 """
 
 import sys
@@ -15,7 +16,7 @@ from benchmarks.common import emit, enable_compile_cache
 import time
 
 
-def main():
+def main(batch=8):
     enable_compile_cache()
     import jax
     import jax.numpy as jnp
@@ -25,7 +26,7 @@ def main():
     from tpurpn.model import get_model
     from tpurpn.train import create_train_state, make_train_step
 
-    BATCH = 8
+    BATCH = int(batch)
     hp = get_hyper_params("vgg16")
     model = get_model(hp)
     state = create_train_state(hp, jax.random.key(0), model=model)
@@ -57,8 +58,9 @@ def main():
     t0 = time.perf_counter()
     float(many(state, imgs, boxes, labels))
     dt = (time.perf_counter() - t0) / iters
-    emit("config3_vgg16_train_step_batch8", BATCH / dt, "images/sec/chip")
+    emit(f"config3_vgg16_train_step_batch{BATCH}", BATCH / dt, "images/sec/chip",
+         ms_per_step=round(dt * 1e3, 2))
 
 
 if __name__ == "__main__":
-    main()
+    main(*sys.argv[1:])

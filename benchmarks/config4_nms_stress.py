@@ -59,6 +59,35 @@ def main():
         ms_per_batch=round(dt * 1e3, 2),
     )
 
+    # the fused proposal kernel serving the same top-2000 -> 300 selection
+    # (top-k + lazy gather + NMS + compaction in one kernel)
+    from tpurpn.kernels.proposal_pallas import fused_proposals_planes
+
+    planes = jnp.moveaxis(boxes, -1, 1)  # (B, 4, N)
+
+    @jax.jit
+    def step_fused(planes, scores, carry):
+        out = fused_proposals_planes(
+            planes, scores + carry, pre=PRE,
+            iou_threshold=float(hp.nms_iou_threshold), max_output=OUT,
+        )
+        return jnp.sum(out["num_valid"]).astype(jnp.float32) * 1e-9
+
+    carry = step_fused(planes, scores, jnp.float32(0.0))
+    float(carry)
+    carry = jnp.float32(0.0)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = step_fused(planes, scores, carry)
+    float(carry)
+    dt = (time.perf_counter() - t0) / iters
+    emit(
+        "config4_nms_stress_fused_kernel_batch32",
+        B / dt,
+        "images/sec/chip",
+        ms_per_batch=round(dt * 1e3, 2),
+    )
+
 
 if __name__ == "__main__":
     main()

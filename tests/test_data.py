@@ -153,3 +153,64 @@ def test_data_api_mirrors():
     _, boxes, labels = ds.sample(0)
     n_valid = int((labels != -1).sum())
     assert np.all(boxes[n_valid:] == pads[1]) and np.all(labels[n_valid:] == pads[2])
+
+
+def test_get_dataset_tfds_requires_tfds():
+    """get_dataset('voc/2007') routes to TfdsVOC; without tensorflow_datasets
+    installed it must raise a clear ImportError (offline environments)."""
+    import pytest
+
+    with pytest.raises(ImportError, match="tensorflow_datasets"):
+        get_dataset("voc/2007", "train")
+
+
+def test_tfds_voc_adapter_with_stub(monkeypatch):
+    """TfdsVOC against a stubbed tensorflow_datasets module: reference
+    conventions (resize to raw_size, labels +1, -1/0 padding) hold."""
+    import sys
+    import types
+
+    h, w = 30, 45
+    examples = [
+        {
+            "image": np.full((h, w, 3), 7, np.uint8),
+            "objects": {
+                "bbox": np.array([[0.1, 0.2, 0.5, 0.6]], np.float32),
+                "label": np.array([3], np.int64),
+            },
+        },
+        {
+            "image": np.full((h * 2, w, 3), 9, np.uint8),
+            "objects": {
+                "bbox": np.zeros((0, 4), np.float32),
+                "label": np.zeros((0,), np.int64),
+            },
+        },
+    ]
+
+    class _Split:
+        num_examples = len(examples)
+
+    class _Builder:
+        info = types.SimpleNamespace(splits={"train": _Split()})
+
+        def download_and_prepare(self):
+            pass
+
+        def as_dataset(self, split, shuffle_files=False):
+            assert split == "train"
+            return examples
+
+    stub = types.SimpleNamespace(
+        builder=lambda name: _Builder(), as_numpy=lambda ds: ds
+    )
+    monkeypatch.setitem(sys.modules, "tensorflow_datasets", stub)
+
+    ds = get_dataset("voc/2007", "train", max_boxes=4, raw_size=(16, 16))
+    assert len(ds) == 2
+    imgs, boxes, labels = next(ds.batches(2, native=False))
+    assert imgs.shape == (2, 16, 16, 3) and imgs.dtype == np.uint8
+    np.testing.assert_allclose(boxes[0, 0], [0.1, 0.2, 0.5, 0.6])
+    assert labels[0, 0] == 4  # tfds label 3 -> +1 (0 = background)
+    assert labels[0, 1] == -1 and np.all(boxes[0, 1:] == 0)
+    assert np.all(labels[1] == -1)  # empty example fully padded

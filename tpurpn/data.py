@@ -274,6 +274,78 @@ def load_voc_directory(
     return VOCDirectory(root=root, split_ids=ids, max_boxes=max_boxes)
 
 
+@dataclasses.dataclass
+class TfdsVOC:
+    """tensorflow_datasets-backed VOC — the reference's exact data source
+    (``data_utils.get_dataset("voc/2007", split)``, SURVEY.md §2 row 7).
+
+    Requires ``tensorflow_datasets`` (not installed in offline environments —
+    construction raises a clear ImportError; SyntheticVOC / VOCDirectory cover
+    those). Samples are host-resized to ``raw_size`` like VOCDirectory (the
+    reference's plain square ``tf.image.resize`` has the same aspect-distorting
+    semantics; tfds bboxes are already normalized y1x1y2x2 so they pass
+    through), labels are shifted +1 (0 = background) and padded with -1 —
+    exactly the reference's ``preprocessing`` + ``get_padding_values``
+    conventions.
+    """
+
+    name: str = "voc/2007"
+    split: str = "train"
+    max_boxes: int = 64
+    raw_size: Tuple[int, int] = (500, 500)
+
+    def __post_init__(self):
+        try:
+            import tensorflow_datasets as tfds
+        except ImportError as e:  # pragma: no cover - exercised via stub
+            raise ImportError(
+                "tensorflow_datasets is required for TfdsVOC "
+                f"(get_dataset({self.name!r})). It is not installed in this "
+                "environment; use name='synthetic' or a local VOCdevkit path."
+            ) from e
+        builder = tfds.builder(self.name)
+        builder.download_and_prepare()
+        self._examples = None
+        self._builder = builder
+        self._tfds = tfds
+        self._len = int(builder.info.splits[self.split].num_examples)
+
+    def __len__(self) -> int:
+        return self._len
+
+    def _materialize(self):
+        # decode once, keep host-side uint8 + padded GT (VOC 2007 fits in RAM)
+        if self._examples is not None:
+            return self._examples
+        from PIL import Image
+
+        out = []
+        for ex in self._tfds.as_numpy(
+            self._builder.as_dataset(split=self.split, shuffle_files=False)
+        ):
+            img = np.asarray(
+                Image.fromarray(ex["image"]).resize(
+                    (self.raw_size[1], self.raw_size[0])
+                ),
+                np.uint8,
+            )
+            bb = ex["objects"]["bbox"].astype(np.float32)  # (n, 4) y1x1y2x2
+            lb = ex["objects"]["label"].astype(np.int32) + 1  # 0 = background
+            n = min(len(lb), self.max_boxes)
+            boxes = np.zeros((self.max_boxes, 4), np.float32)
+            labels = np.full((self.max_boxes,), -1, np.int32)
+            boxes[:n] = bb[:n]
+            labels[:n] = lb[:n]
+            out.append((img, boxes, labels))
+        self._examples = out
+        return out
+
+    def sample(self, index: int):
+        return self._materialize()[index]
+
+    batches = SyntheticVOC.batches  # same batching logic
+
+
 class Prefetcher:
     """Background-thread batch prefetcher (depth-bounded queue).
 
@@ -343,8 +415,10 @@ def get_dataset(
 ):
     """Dataset factory mirroring the reference's data_utils.get_dataset.
 
-    name="synthetic" -> SyntheticVOC (split selects a disjoint seed);
-    name=<path>     -> VOC directory on disk.
+    name="synthetic"  -> SyntheticVOC (split selects a disjoint seed);
+    name="voc/2007"   -> tensorflow_datasets (the reference's source; needs
+                         tfds installed — SURVEY.md §2 row 7);
+    name=<path>       -> VOC directory on disk.
     """
     if name == "synthetic":
         # stable hash for unknown splits: str hash is randomized per process
@@ -354,4 +428,6 @@ def get_dataset(
             split, zlib.crc32(split.encode()) % 1000
         )
         return SyntheticVOC(seed=seed, **kwargs)
+    if name == "voc" or name.startswith("voc/"):
+        return TfdsVOC(name=name, split=split, **kwargs)
     return load_voc_directory(name, split=split, **kwargs)
