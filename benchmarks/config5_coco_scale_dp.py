@@ -46,7 +46,9 @@ def main():
     n_devices = jax.device_count()
     if "--devices" in sys.argv:
         n_devices = int(sys.argv[sys.argv.index("--devices") + 1])
-    per_device_batch = 4
+    per_device_batch = 4 if "--virtual" in sys.argv else 16
+    if "--per-device-batch" in sys.argv:
+        per_device_batch = int(sys.argv[sys.argv.index("--per-device-batch") + 1])
     BATCH = per_device_batch * n_devices
 
     hp = get_hyper_params("mobilenet_v2", img_size=640)
@@ -61,8 +63,13 @@ def main():
     key = jax.random.key(1)
 
     state, m = step(state, *sh, key)
-    float(m["loss"])  # compile + warm
-    iters = 5
+    float(m["loss"])  # compile + warm the single-step program
+    # chain steps by the train-state carry across dispatches: the next step
+    # can't start before the previous one's state lands, so the measured time
+    # is honest step time; one final scalar pull syncs (the ~25 ms/dispatch
+    # axon-tunnel overhead would otherwise dominate a per-step sync at this
+    # batch — benchmarks/common.py docstring)
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, *sh, key)
@@ -73,6 +80,7 @@ def main():
         BATCH / dt,
         "images/sec",
         devices=n_devices,
+        per_device_batch=per_device_batch,
         images_per_sec_per_chip=round(BATCH / dt / n_devices, 2),
     )
 
