@@ -7,7 +7,7 @@ BASELINE.json:5). The reference trains on real VOC 2007 via tfds, which is
 unavailable offline (SURVEY.md §7); the synthetic fixture demonstrates the
 same training loop reaching high recall from scratch.
 
-    python benchmarks/recall_demo.py [backbone] [steps] [batch] [ckpt_dir]
+    python benchmarks/recall_demo.py [backbone] [steps] [batch] [ckpt_dir] [lr]
 
 Round-1 recipe (BASELINE.md): batch 16, adam 3e-4, bn_momentum 0.99; eval
 with BN running stats. With ckpt_dir, the full train state is restored from
@@ -22,7 +22,7 @@ sys.path.insert(0, ".")
 from benchmarks.common import emit, enable_compile_cache
 
 
-def main(backbone="vgg16", steps=800, batch=16, ckpt_dir=None):
+def main(backbone="vgg16", steps=800, batch=16, ckpt_dir=None, lr=3e-4):
     enable_compile_cache()
     import os
 
@@ -40,8 +40,9 @@ def main(backbone="vgg16", steps=800, batch=16, ckpt_dir=None):
 
     hp = get_hyper_params(backbone)
     model = get_model(hp)
+    lr = float(lr)
     state = create_train_state(
-        hp, jax.random.key(0), tx=optax.adam(3e-4), model=model
+        hp, jax.random.key(0), tx=optax.adam(lr), model=model
     )
     batch = int(batch)
     if ckpt_dir and os.path.isdir(ckpt_dir):
@@ -109,7 +110,7 @@ def main(backbone="vgg16", steps=800, batch=16, ckpt_dir=None):
     r1 = eval_recall(state)
     emit(
         f"{backbone}_recall300_at_step_{int(state.step)}", round(r1, 4), "recall",
-        final_loss=round(loss, 4), batch=batch, optimizer="adam(3e-4)",
+        final_loss=round(loss, 4), batch=batch, optimizer=f"adam({lr:g})",
     )
 
 
