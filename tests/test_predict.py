@@ -151,3 +151,37 @@ def test_plane_path_matches_reference_path(hp, rng):
     np.testing.assert_allclose(
         np.asarray(ref["roi_scores"]), np.asarray(got["roi_scores"]), atol=1e-6
     )
+
+
+def test_mesh_predict_matches_single_device():
+    """Data-parallel inference over 8 virtual devices == single-device.
+
+    Proposal selection is per-image, so sharding the batch over a 'data'
+    mesh must not change any output (no collectives on this path).
+    """
+    import jax
+
+    from tpurpn.model import get_model, init_model
+    from tpurpn.train import make_data_mesh, replicate, shard_batch
+
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    hp = get_hyper_params("vgg16", img_size=96, compute_dtype="float32")
+    model = get_model(hp)
+    variables = init_model(model, jax.random.key(0))
+    images = jax.random.uniform(
+        jax.random.key(1), (8, hp.img_size, hp.img_size, 3), jnp.float32
+    )
+
+    single = make_predict_fn(model, hp, topn=50)
+    out_a = single(variables, images)
+
+    mesh = make_data_mesh(8)
+    sharded = make_predict_fn(model, hp, topn=50, mesh=mesh)
+    out_b = sharded(replicate(mesh, variables), shard_batch(mesh, images))
+
+    np.testing.assert_array_equal(
+        np.asarray(out_a["num_valid"]), np.asarray(out_b["num_valid"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_a["roi_boxes"]), np.asarray(out_b["roi_boxes"]), atol=1e-6
+    )
