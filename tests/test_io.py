@@ -120,3 +120,37 @@ def test_h5_import_bn_and_depthwise(tmp_path, rng):
         new_params["backbone"]["expanded_conv"]["expanded_conv_depthwise"]["kernel"]
     )
     np.testing.assert_array_equal(got_dw, dw.transpose(0, 1, 3, 2))
+
+
+def test_keras_h5_export_import_roundtrip(tmp_path):
+    """save_keras_h5_weights -> load_keras_h5_weights reproduces every leaf
+    (incl. MobileNetV2 depthwise kernels and BN stats) with nothing missing —
+    the both-ways weight bridge to the TF reference."""
+    import jax
+    import numpy as np
+
+    from tpurpn import get_hyper_params
+    from tpurpn.io_utils import load_keras_h5_weights, save_keras_h5_weights
+    from tpurpn.model import get_model, init_model
+
+    hp = get_hyper_params("mobilenet_v2", img_size=96, compute_dtype="float32")
+    model = get_model(hp)
+    variables = init_model(model, jax.random.key(0))
+    path = str(tmp_path / "weights.h5")
+    save_keras_h5_weights(path, variables["params"], variables.get("batch_stats"))
+
+    fresh = init_model(model, jax.random.key(1))
+    params, stats, missing = load_keras_h5_weights(
+        path, fresh["params"], fresh.get("batch_stats")
+    )
+    assert missing == []
+    for a, b in zip(
+        jax.tree_util.tree_leaves(variables["params"]),
+        jax.tree_util.tree_leaves(params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(variables["batch_stats"]),
+        jax.tree_util.tree_leaves(stats),
+    ):
+        np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b))

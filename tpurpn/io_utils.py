@@ -222,3 +222,49 @@ def load_keras_h5_weights(path: str, params: Any, batch_stats: Any = None):
         new_stats, missing_stats = apply_tree(batch_stats)
         missing += missing_stats
     return new_params, new_stats, missing
+
+
+def save_keras_h5_weights(path: str, params: Any, batch_stats: Any = None) -> None:
+    """Write flax parameters as a legacy Keras .h5 weight file.
+
+    The inverse of :func:`load_keras_h5_weights`: weights land at
+    ``model_weights/<layer>/<layer>/<name>:0`` with Keras names (kernel /
+    bias / gamma / beta / moving_mean / moving_variance / depthwise_kernel),
+    so a model trained here drops into the TF reference via
+    ``keras_model.load_weights(path)``. Depthwise kernels are transposed back
+    to Keras (H, W, C, 1) layout; BN biases are written as ``beta``.
+    """
+    import h5py
+    from flax import traverse_util
+
+    # figure out which layers are BatchNorms (have a 'scale'/'mean' leaf) so
+    # their 'bias' exports as 'beta' rather than a conv bias
+    def flat_of(tree):
+        if tree is None or not jax.tree_util.tree_leaves(tree):
+            return {}
+        return dict(
+            traverse_util.flatten_dict(jax.tree_util.tree_map(np.asarray, tree))
+        )
+
+    p_flat = flat_of(params)
+    s_flat = flat_of(batch_stats)
+    bn_layers = {key[-2] for key in list(p_flat) if key[-1] == "scale"}
+    bn_layers |= {key[-2] for key in list(s_flat)}
+
+    _EXPORT_NAMES = {"scale": "gamma", "mean": "moving_mean", "var": "moving_variance"}
+
+    with h5py.File(path, "w") as f:
+        grp = f.create_group("model_weights")
+        for key, arr in list(p_flat.items()) + list(s_flat.items()):
+            layer, leaf = key[-2], key[-1]
+            if leaf == "bias" and layer in bn_layers:
+                name = "beta"
+            elif leaf == "kernel" and arr.ndim == 4 and arr.shape[2] == 1:
+                # flax grouped-conv depthwise (H, W, 1, C) -> Keras (H, W, C, 1)
+                name = "depthwise_kernel"
+                arr = arr.transpose(0, 1, 3, 2)
+            else:
+                name = _EXPORT_NAMES.get(leaf, leaf)
+            grp.require_group(layer).require_group(layer).create_dataset(
+                f"{name}:0", data=np.asarray(arr, np.float32)
+            )
