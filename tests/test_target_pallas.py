@@ -92,3 +92,157 @@ def test_fused_matching_matches_twin_on_device(rng):
     np.testing.assert_allclose(np.asarray(m_ref), np.asarray(m_pl), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(bg_ref), np.asarray(bg_pl))
     np.testing.assert_array_equal(np.asarray(ba_ref), np.asarray(ba_pl))
+
+
+# ---------------------------------------------------------------------------
+# fused_rpn_targets: the fully-fused north-star kernel (matching + balanced
+# sampling + delta encode). The twin below consumes the SAME random bits with
+# the same unique-key ranking rule, so agreement is bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _twin_rpn_targets(anchors, gt_boxes, gt_labels, rand_bits, hp,
+                      interpret=True):
+    """jnp reference of kernels.target_pallas.fused_rpn_targets.
+
+    Matching comes from the (already-verified) fused_iou_matching kernel so
+    that sampling + encoding — the logic under test — compares bit-for-bit;
+    a pure-jnp IoU can flip candidates whose IoU sits within 1 ulp of a
+    threshold (see test_fused_matching_matches_twin's atol).
+    """
+    from tpurpn.boxes import get_deltas_from_bboxes
+
+    N = anchors.shape[0]
+    B = gt_boxes.shape[0]
+    merged, best_gt, best_anchor = fused_iou_matching(
+        anchors, gt_boxes, interpret=interpret
+    )
+    valid_gt = gt_labels != -1
+    anchor_ids = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+    forced = jnp.any(
+        (best_anchor[:, None, :] == anchor_ids) & valid_gt[:, None, :], axis=2
+    )
+    pos_cand = (merged > hp.pos_threshold) | forced
+
+    def select(cand, bits, k_eff):
+        # same unique keys as the kernel: top 14 random bits | anchor index
+        lane = jnp.arange(N, dtype=jnp.int32)
+        key = jnp.left_shift(
+            jax.lax.shift_right_logical(bits, 18), 14
+        ) | lane
+        keys = jnp.where(cand, key, 1 << 29)
+        sorted_keys = jnp.sort(keys, axis=-1)
+        k_idx = jnp.clip(k_eff.astype(jnp.int32) - 1, 0, N - 1)
+        thr = jnp.take_along_axis(sorted_keys, k_idx[:, None], axis=1)
+        thr = jnp.where(k_eff[:, None] > 0, thr, -1)
+        return keys <= thr
+
+    avail_pos = jnp.sum(pos_cand, axis=-1).astype(jnp.float32)
+    pos_sel = select(
+        pos_cand, rand_bits[:, 0], jnp.minimum(float(hp.total_pos_bboxes), avail_pos)
+    )
+    pos_count = jnp.sum(pos_sel, axis=-1).astype(jnp.float32)
+    neg_cand = (merged < hp.neg_threshold) & ~pos_sel
+    avail_neg = jnp.sum(neg_cand, axis=-1).astype(jnp.float32)
+    k_neg = jnp.minimum(
+        float(hp.total_pos_bboxes + hp.total_neg_bboxes) - pos_count, avail_neg
+    )
+    neg_sel = select(neg_cand, rand_bits[:, 1], k_neg)
+
+    labels = jnp.where(pos_sel, 1.0, jnp.where(neg_sel, 0.0, -1.0))
+    gt_map = jnp.take_along_axis(gt_boxes, best_gt[..., None], axis=1)
+    expanded = jnp.where(pos_sel[..., None], gt_map, 0.0)
+    deltas = get_deltas_from_bboxes(anchors[None], expanded) / jnp.asarray(
+        hp.variances, jnp.float32
+    )
+    return deltas, labels
+
+
+def _rand_bits(rng, B, N):
+    return jnp.asarray(
+        rng.integers(0, 2**32, size=(B, 2, N), dtype=np.uint64).astype(np.uint32)
+    ).view(jnp.int32)
+
+
+@pytest.mark.parametrize("B,M,n_valid", [(2, 8, 3), (3, 64, 20)])
+def test_fused_targets_matches_twin(rng, B, M, n_valid):
+    hp = get_hyper_params("vgg16", img_size=160)
+    anchors = generate_anchors(hp)
+    gt = random_gt(rng, B, M, n_valid)
+    labels = np.full((B, M), -1, np.int32)
+    labels[:, :n_valid] = 1
+    bits = _rand_bits(rng, B, hp.total_anchors)
+
+    from tpurpn.kernels.target_pallas import fused_rpn_targets
+
+    d_pl, l_pl = fused_rpn_targets(
+        anchors, gt, jnp.asarray(labels), bits, hp, interpret=True
+    )
+    d_ref, l_ref = _twin_rpn_targets(anchors, gt, jnp.asarray(labels), bits, hp)
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_pl))
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_pl), atol=1e-6)
+    # reference invariants: exactly total_pos+total_neg sampled when available
+    lab = np.asarray(l_pl)
+    assert ((lab == 1).sum(-1) <= hp.total_pos_bboxes).all()
+    np.testing.assert_array_equal(
+        (lab != -1).sum(-1),
+        np.minimum(
+            hp.total_pos_bboxes + hp.total_neg_bboxes,
+            (lab == 1).sum(-1) + (np.asarray(l_ref) == 0).sum(-1),
+        ),
+    )
+
+
+def test_fused_targets_empty_gt(rng):
+    hp = get_hyper_params("vgg16", img_size=160)
+    anchors = generate_anchors(hp)
+    gt = jnp.zeros((2, 8, 4), jnp.float32)
+    labels = jnp.full((2, 8), -1, jnp.int32)
+    bits = _rand_bits(rng, 2, hp.total_anchors)
+
+    from tpurpn.kernels.target_pallas import fused_rpn_targets
+
+    d_pl, l_pl = fused_rpn_targets(anchors, gt, labels, bits, hp, interpret=True)
+    lab = np.asarray(l_pl)
+    assert (lab != 1).all()  # no positives without valid GT
+    # negatives still fill the minibatch (all anchors have IoU 0 < neg_thr)
+    np.testing.assert_array_equal(
+        (lab == 0).sum(-1), hp.total_pos_bboxes + hp.total_neg_bboxes
+    )
+    np.testing.assert_array_equal(np.asarray(d_pl), 0.0)
+
+
+def test_fused_targets_different_bits_differ(rng):
+    """Different random words select different subsets (it IS random)."""
+    hp = get_hyper_params("vgg16", img_size=160)
+    anchors = generate_anchors(hp)
+    gt = random_gt(rng, 1, 8, 3)
+    labels = jnp.asarray(np.array([[1, 1, 1, -1, -1, -1, -1, -1]], np.int32))
+
+    from tpurpn.kernels.target_pallas import fused_rpn_targets
+
+    b1 = _rand_bits(rng, 1, hp.total_anchors)
+    b2 = _rand_bits(rng, 1, hp.total_anchors)
+    _, l1 = fused_rpn_targets(anchors, gt, labels, b1, hp, interpret=True)
+    _, l2 = fused_rpn_targets(anchors, gt, labels, b2, hp, interpret=True)
+    assert not np.array_equal(np.asarray(l1), np.asarray(l2))
+
+
+@pytest.mark.tpu
+def test_fused_targets_matches_twin_on_device(rng):
+    """Non-interpreted fully-fused target kernel on the real TPU."""
+    hp = get_hyper_params("vgg16")  # 8649-anchor full grid
+    anchors = generate_anchors(hp)
+    gt = random_gt(rng, 4, 64, 20)
+    labels = np.full((4, 64), -1, np.int32)
+    labels[:, :20] = 1
+    bits = _rand_bits(rng, 4, hp.total_anchors)
+
+    from tpurpn.kernels.target_pallas import fused_rpn_targets
+
+    d_pl, l_pl = fused_rpn_targets(anchors, gt, jnp.asarray(labels), bits, hp)
+    d_ref, l_ref = _twin_rpn_targets(
+        anchors, gt, jnp.asarray(labels), bits, hp, interpret=False
+    )
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_pl))
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_pl), atol=1e-6)

@@ -114,15 +114,27 @@ def calculate_rpn_actual_outputs(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        from .kernels.target_pallas import fused_iou_matching
+        # the fully-fused north-star kernel (BASELINE.json:5): IoU matrix +
+        # matching + balanced pos/neg sampling + delta encode in one Pallas
+        # kernel; random ranking words come from the same functional key
+        from jax import lax
 
-        merged_iou, best_gt_per_anchor, best_anchor_per_gt = fused_iou_matching(
-            anchors, gt_boxes
+        from .kernels.target_pallas import fused_rpn_targets
+
+        rand_bits = lax.bitcast_convert_type(
+            jax.random.bits(key, (B, 2, N)), jnp.int32
         )
-    else:
-        merged_iou, best_gt_per_anchor, best_anchor_per_gt = iou_matching(
-            anchors, gt_boxes
+        deltas, labels = fused_rpn_targets(
+            anchors, gt_boxes, gt_labels, rand_bits, hp
         )
+        return (
+            deltas.reshape(B, fm, fm, A * 4),
+            labels.reshape(B, fm, fm, A),
+        )
+
+    merged_iou, best_gt_per_anchor, best_anchor_per_gt = iou_matching(
+        anchors, gt_boxes
+    )
 
     pos_mask = merged_iou > hp.pos_threshold
 
