@@ -15,8 +15,10 @@ Layout: anchors along **lanes** (tiles of 512), gt boxes along **sublanes**
 write rows straight into the outputs, and the per-gt reduction is a running
 lane-reduction accumulated in VMEM scratch across anchor tiles.
 
-The pure-jnp twin is ``tpurpn.target.iou_matching``; thresholding, balanced
-sampling and delta encoding stay in XLA where they fuse for free.
+The pure-jnp twin is ``tpurpn.target.iou_matching``. ``fused_rpn_targets``
+below goes further — the full north-star target pipeline (matching +
+forced-positive + balanced pos/neg subsampling + delta encoding) in one
+kernel; only the dense per-anchor deltas/labels ever leave it.
 """
 
 from __future__ import annotations
