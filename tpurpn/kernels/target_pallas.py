@@ -32,6 +32,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..target import _lane_bits_for
+
 _BIG = 2**30  # plain int: a jnp constant would be captured as a traced value
 
 
@@ -105,15 +107,18 @@ def _matching_kernel(
     col_arg_ref[0, 0:1, :] = jnp.transpose(col_arg_scr[...])
 
 
-def _make_key_row(rand_row, lane_iota):
-    """Unique 28-bit selection keys: top 14 bits of the random word + the
-    anchor index (< 16384). Uniqueness makes the k-th-smallest threshold
-    selection EXACT (no tie handling); ranking is uniformly random with
-    index tie-break — the same distributional contract as the reference's
+def _make_key_row(rand_row, lane_iota, lane_bits: int):
+    """Unique 28-bit selection keys: top (28 - lane_bits) bits of the random
+    word above the anchor index (< 2**lane_bits). Uniqueness makes the
+    k-th-smallest threshold selection EXACT (no tie handling); ranking is
+    uniformly random with a deterministic low-index tie-break on random-field
+    collisions — a ~k/2**(28 - lane_bits) bias toward low anchor indices,
+    otherwise the same distributional contract as the reference's
     random-ranking subsample (utils/train_utils.randomly_select_xyz_mask)."""
+    rand_bits = 28 - lane_bits
     hi = lax.shift_left(
-        lax.shift_right_logical(rand_row, 18), 14
-    )  # top 14 bits of rand -> bits [14, 28)
+        lax.shift_right_logical(rand_row, 32 - rand_bits), lane_bits
+    )  # top rand_bits of rand -> bits [lane_bits, 28)
     return lax.bitwise_or(hi, lane_iota)
 
 
@@ -153,6 +158,7 @@ def _targets_kernel(
     m_pad: int,
     tile: int,
     n_real: int,
+    lane_bits: int,
     pos_threshold: float,
     neg_threshold: float,
     total_pos: int,
@@ -234,7 +240,7 @@ def _targets_kernel(
 
     pos_cand = ((merged > pos_threshold) | forced) & lane_valid
     pos_keys = jnp.where(
-        pos_cand, _make_key_row(rand_ref[0, 0:1, :], lane), _KEY_SENTINEL
+        pos_cand, _make_key_row(rand_ref[0, 0:1, :], lane, lane_bits), _KEY_SENTINEL
     )
     avail_pos = jnp.sum(jnp.where(pos_cand, 1.0, 0.0))
     t_pos = _kth_smallest_threshold(
@@ -245,7 +251,7 @@ def _targets_kernel(
     pos_count = jnp.sum(jnp.where(pos_sel, 1.0, 0.0))
     neg_cand = (merged < neg_threshold) & (~pos_sel) & lane_valid
     neg_keys = jnp.where(
-        neg_cand, _make_key_row(rand_ref[0, 1:2, :], lane), _KEY_SENTINEL
+        neg_cand, _make_key_row(rand_ref[0, 1:2, :], lane, lane_bits), _KEY_SENTINEL
     )
     avail_neg = jnp.sum(jnp.where(neg_cand, 1.0, 0.0))
     t_neg = _kth_smallest_threshold(
@@ -314,10 +320,11 @@ def fused_rpn_targets(
       hp: HyperParams (thresholds, total_pos/neg, variances).
 
     Returns (bbox_deltas (B, N, 4) — already / variances, bbox_labels (B, N)).
-    Selection semantics: uniformly random subset of the candidate mask (top
-    14 random bits rank, anchor index tie-break) — the same contract as
-    target.random_select_mask; the jnp twin consuming the same rand_bits
-    (tests/test_target_pallas.py) matches bit-for-bit.
+    Selection semantics: random subset of the candidate mask ranked by unique
+    28-bit keys (top random bits above the anchor index — see _make_key_row
+    for the exact rule and its small low-index tie-break bias). The pure-jnp
+    implementation in ``target.select_by_keys`` consumes the same rand_bits
+    and matches bit-for-bit, so CPU and TPU runs select identical subsets.
     """
     N = anchors.shape[0]
     B, M, _ = gt_boxes.shape
@@ -339,6 +346,9 @@ def fused_rpn_targets(
         m_pad=m_pad,
         tile=tile,
         n_real=N,
+        # only real lanes (< N) need unique keys: padded lanes are never
+        # candidates and carry the sentinel regardless of index overflow
+        lane_bits=_lane_bits_for(N),
         pos_threshold=float(hp.pos_threshold),
         neg_threshold=float(hp.neg_threshold),
         total_pos=int(hp.total_pos_bboxes),

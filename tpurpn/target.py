@@ -18,7 +18,18 @@ Python generator per step — its structural bottleneck, SURVEY.md §3.1):
 
 Randomness uses explicit ``jax.random`` keys (functional, reproducible) in
 place of the reference's stateful ``tf.random.uniform`` ranking trick — same
-distributional contract: a uniformly random subset of the candidate mask.
+distributional contract: a random subset of the candidate mask.
+
+**One selection contract, both backends.** Subsampling ranks candidates by
+unique 28-bit keys — the top random bits of a per-anchor random word above
+the anchor index (:func:`selection_keys`) — and keeps the k smallest. The
+Pallas kernel (kernels/target_pallas.fused_rpn_targets) and the pure-jnp
+path here consume the **same** ``jax.random.bits``-derived words, so a run
+selects bit-identical anchor subsets on CPU and TPU. Key uniqueness makes
+k-th-smallest selection exact; the cost is a deterministic low-index
+tie-break when random fields collide — a ~k/2**(28 - lane_bits) bias toward
+low anchor indices, negligible at k=128 (~0.8% of picks for the 500x500
+grids) and documented here rather than papered over.
 """
 
 from __future__ import annotations
@@ -27,9 +38,75 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .boxes import generate_iou_map, get_deltas_from_bboxes
 from .config import HyperParams
+
+KEY_SENTINEL = 1 << 29  # above any real selection key (< 2**28)
+
+
+def _lane_bits_for(n: int) -> int:
+    """Width of the anchor-index field in the 28-bit selection keys.
+
+    14 for every grid up to 16384 anchors (the standard 500x500 grids);
+    wider for larger grids so the lane index never overlaps the random-rank
+    bits. At least 8 random bits must remain or the subsample would become
+    mostly index-ordered — grids beyond 2**20 anchors fail loudly here.
+    """
+    bits = max(14, (n - 1).bit_length())
+    if bits > 20:
+        raise ValueError(
+            f"anchor grid of {n} anchors needs a {bits}-bit index field, "
+            "leaving <8 random rank bits in the 28-bit selection keys; "
+            "widen the key (see tpurpn/target.py) to support it"
+        )
+    return bits
+
+
+def selection_keys(rand_words: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Unique 28-bit selection keys from (..., n) int32 random words.
+
+    key = (top (28 - lane_bits) random bits << lane_bits) | anchor_index.
+    Bit-identical to the Pallas kernel's in-VMEM key rule (_make_key_row).
+    """
+    lane_bits = _lane_bits_for(n)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    hi = jnp.left_shift(
+        lax.shift_right_logical(rand_words, 32 - (28 - lane_bits)), lane_bits
+    )
+    return jnp.bitwise_or(hi, lane)
+
+
+def select_by_keys(
+    cand: jnp.ndarray, rand_words: jnp.ndarray, k_eff: jnp.ndarray
+) -> jnp.ndarray:
+    """Keep the ``k_eff`` candidates with the smallest selection keys.
+
+    cand: (B, N) bool candidate mask; rand_words: (B, N) int32;
+    k_eff: (B,) float — number to keep (callers pass
+    min(budget, available)). Returns the (B, N) bool selected mask.
+    This is THE subsampling rule of the framework — the Pallas target kernel
+    computes the identical selection in-kernel from the same words.
+    """
+    N = cand.shape[-1]
+    keys = jnp.where(cand, selection_keys(rand_words, N), KEY_SENTINEL)
+    sorted_keys = jnp.sort(keys, axis=-1)
+    k_idx = jnp.clip(k_eff.astype(jnp.int32) - 1, 0, N - 1)
+    thr = jnp.take_along_axis(sorted_keys, k_idx[:, None], axis=1)
+    thr = jnp.where(k_eff[:, None] > 0, thr, -1)
+    return keys <= thr
+
+
+def target_rand_bits(key: jax.Array, batch: int, n: int) -> jnp.ndarray:
+    """(B, 2, N) int32 random words for pos (row 0) / neg (row 1) sampling.
+
+    The single source of selection randomness for BOTH backends of
+    :func:`calculate_rpn_actual_outputs`.
+    """
+    return lax.bitcast_convert_type(
+        jax.random.bits(key, (batch, 2, n)), jnp.int32
+    )
 
 
 def random_select_mask(
@@ -37,9 +114,12 @@ def random_select_mask(
 ) -> jnp.ndarray:
     """Keep a uniformly-random subset of at most ``max_count`` True entries.
 
-    ``mask`` is (..., N) bool; ``max_count`` is a scalar or broadcastable
-    (...,) int. Mirrors the reference's ``randomly_select_xyz_mask`` (random
-    ranking of masked entries, keep the first k).
+    API-parity mirror of the reference's ``randomly_select_xyz_mask`` (random
+    ranking of masked entries, keep the first k), kept for users migrating
+    from the reference. The production target path uses
+    :func:`select_by_keys` instead — the key-based rule both backends share
+    bit-for-bit. ``mask`` is (..., N) bool; ``max_count`` is a scalar or
+    broadcastable (...,) int.
 
     ``k_max``: static upper bound on ``max_count``. When given, selection is
     one ``lax.top_k(k_max)`` + scatter instead of two full argsorts over N —
@@ -109,21 +189,19 @@ def calculate_rpn_actual_outputs(
     fm, A = hp.feature_map_shape, hp.anchor_count
     assert N == fm * fm * A, (N, fm, A)
 
-    pos_key, neg_key = jax.random.split(key)
+    # the single source of selection randomness: both backends rank
+    # candidates by the same key rule over the same words, so a run selects
+    # bit-identical anchor subsets on CPU and TPU
+    rand_bits = target_rand_bits(key, B, N)
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         # the fully-fused north-star kernel (BASELINE.json:5): IoU matrix +
         # matching + balanced pos/neg sampling + delta encode in one Pallas
-        # kernel; random ranking words come from the same functional key
-        from jax import lax
-
+        # kernel
         from .kernels.target_pallas import fused_rpn_targets
 
-        rand_bits = lax.bitcast_convert_type(
-            jax.random.bits(key, (B, 2, N)), jnp.int32
-        )
         deltas, labels = fused_rpn_targets(
             anchors, gt_boxes, gt_labels, rand_bits, hp
         )
@@ -136,7 +214,7 @@ def calculate_rpn_actual_outputs(
         anchors, gt_boxes
     )
 
-    pos_mask = merged_iou > hp.pos_threshold
+    pos_cand = merged_iou > hp.pos_threshold
 
     # forced positive: the best anchor of every *valid* GT (padding rows have
     # label -1 and must not force anchor 0 positive). Scatter-free one-hot
@@ -148,18 +226,23 @@ def calculate_rpn_actual_outputs(
         (best_anchor_per_gt[:, None, :] == anchor_ids) & valid_gt[:, None, :],
         axis=2,
     )  # (B, N)
-    pos_mask = pos_mask | forced
+    pos_cand = pos_cand | forced
 
-    pos_mask = random_select_mask(
-        pos_mask, hp.total_pos_bboxes, pos_key, k_max=hp.total_pos_bboxes
+    avail_pos = jnp.sum(pos_cand, axis=-1).astype(jnp.float32)
+    pos_mask = select_by_keys(
+        pos_cand, rand_bits[:, 0],
+        jnp.minimum(float(hp.total_pos_bboxes), avail_pos),
     )
-    pos_count = jnp.sum(pos_mask, axis=-1)  # (B,)
-    neg_count = (hp.total_pos_bboxes + hp.total_neg_bboxes) - pos_count
+    pos_count = jnp.sum(pos_mask, axis=-1).astype(jnp.float32)  # (B,)
 
-    neg_mask = (merged_iou < hp.neg_threshold) & ~pos_mask
-    neg_mask = random_select_mask(
-        neg_mask, neg_count, neg_key,
-        k_max=hp.total_pos_bboxes + hp.total_neg_bboxes,
+    neg_cand = (merged_iou < hp.neg_threshold) & ~pos_mask
+    avail_neg = jnp.sum(neg_cand, axis=-1).astype(jnp.float32)
+    neg_mask = select_by_keys(
+        neg_cand, rand_bits[:, 1],
+        jnp.minimum(
+            float(hp.total_pos_bboxes + hp.total_neg_bboxes) - pos_count,
+            avail_neg,
+        ),
     )
 
     labels = jnp.where(pos_mask, 1.0, jnp.where(neg_mask, 0.0, -1.0)).astype(
