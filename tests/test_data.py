@@ -155,11 +155,63 @@ def test_data_api_mirrors():
     assert np.all(boxes[n_valid:] == pads[1]) and np.all(labels[n_valid:] == pads[2])
 
 
-def test_get_dataset_tfds_requires_tfds():
+def test_preprocess_bf16_close_to_f32_resize():
+    """The bf16 serving preprocess stays within ~one uint8 quantization
+    step of the f32 bilinear resize (the documented contract)."""
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, (4, 37, 50, 3), dtype=np.uint8)
+    x_b, _ = preprocess_batch(
+        jnp.asarray(raw), jnp.zeros((4, 1, 4)), 64, dtype=jnp.bfloat16
+    )
+    ref = np.asarray(
+        jax.image.resize(
+            jnp.asarray(raw, jnp.float32) / 255.0, (4, 64, 64, 3), "bilinear"
+        )
+    )
+    assert np.abs(np.asarray(x_b, np.float32) - ref).max() <= 1.5 / 255.0
+
+
+def test_batches_shuffle_per_epoch():
+    """VERDICT r2 #4a: shuffle=seed draws a fresh deterministic permutation
+    per epoch; shuffle=None keeps the historical fixed order."""
+    ds = SyntheticVOC(num_samples=12, max_boxes=4, raw_h=24, raw_w=32)
+    inv = {ds.sample(i)[0].tobytes(): i for i in range(len(ds))}
+
+    def order(shuffle, n_epochs=2):
+        it = ds.batches(1, repeat=True, native=False, shuffle=shuffle)
+        return [
+            inv[next(it)[0][0].tobytes()] for _ in range(n_epochs * len(ds))
+        ]
+
+    fixed = order(None)
+    assert fixed == list(range(12)) * 2  # unshuffled: index order each epoch
+
+    o1, o2 = order(5), order(5)
+    assert o1 == o2  # deterministic per seed
+    e1, e2 = o1[:12], o1[12:]
+    assert sorted(e1) == list(range(12)) and sorted(e2) == list(range(12))
+    assert e1 != list(range(12)) and e1 != e2  # shuffled, and differs by epoch
+    assert order(6)[:12] != e1  # different seed, different permutation
+
+
+def test_get_dataset_tfds_requires_tfds(monkeypatch):
     """get_dataset('voc/2007') routes to TfdsVOC; without tensorflow_datasets
-    installed it must raise a clear ImportError (offline environments)."""
+    installed it must raise a clear ImportError. Simulate absence by blocking
+    the import so the test also passes where the 'voc' extra IS installed."""
+    import builtins
+    import sys
+
     import pytest
 
+    monkeypatch.delitem(sys.modules, "tensorflow_datasets", raising=False)
+    real_import = builtins.__import__
+
+    def blocked(name, *a, **kw):
+        if name == "tensorflow_datasets":
+            raise ImportError(f"No module named {name!r}")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", blocked)
     with pytest.raises(ImportError, match="tensorflow_datasets"):
         get_dataset("voc/2007", "train")
 

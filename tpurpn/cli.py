@@ -7,6 +7,7 @@ same flows are available as console scripts.
 """
 
 
+import os
 import time
 
 import numpy as np
@@ -14,9 +15,17 @@ import jax
 import jax.numpy as jnp
 
 from tpurpn import get_hyper_params
-from tpurpn.data import get_dataset
-from tpurpn.io_utils import get_log_path, get_model_path, handle_args, save_checkpoint
-from tpurpn.model import get_model
+from tpurpn.data import get_dataset, preprocess_batch
+from tpurpn.eval import proposal_recall
+from tpurpn.io_utils import (
+    get_log_path,
+    get_model_path,
+    handle_args,
+    load_checkpoint,
+    save_checkpoint,
+)
+from tpurpn.model import get_model, init_model
+from tpurpn.predict import make_predict_fn
 from tpurpn.train import (
     create_train_state,
     default_optimizer,
@@ -47,11 +56,7 @@ def trainer_main(argv=None):
         model=model,
     )
     if args.weights:  # resume from a previous checkpoint
-        import os as _os
-
-        from tpurpn.io_utils import load_checkpoint
-
-        if _os.path.isdir(args.weights):
+        if os.path.isdir(args.weights):
             # full train-state resume (params + BN stats + optimizer + step);
             # falls back to weights-only for pre-round-2 checkpoints
             try:
@@ -110,9 +115,16 @@ def trainer_main(argv=None):
           f"batch {args.batch_size}; logs: {log_path}")
     from tpurpn.data import Prefetcher
 
-    it = Prefetcher(train_ds.batches(args.batch_size, repeat=True), depth=2)
+    shuffle = None if args.no_shuffle else args.seed
+    it = Prefetcher(
+        train_ds.batches(args.batch_size, repeat=True, shuffle=shuffle), depth=2
+    )
     for epoch in range(args.epochs):
         t0 = time.time()
+        # metrics stay ON DEVICE for the whole epoch: a per-step host sync
+        # costs a full dispatch round-trip (~25 ms through the axon tunnel —
+        # CLAUDE.md gotchas) and would throttle training to a fraction of the
+        # benched step rate. One stack + one float() per epoch instead.
         losses = []
         for s in range(steps_per_epoch):
             imgs, boxes, labels = next(it)
@@ -121,15 +133,15 @@ def trainer_main(argv=None):
                 imgs, boxes, labels = shard_batch(mesh, imgs, boxes, labels)
             key, sk = jax.random.split(key)
             state, metrics = step_fn(state, imgs, boxes, labels, sk)
-            loss = float(metrics["loss"])
-            if not np.isfinite(loss):  # SURVEY.md §5 sanitizer row: fail loudly
-                raise FloatingPointError(
-                    f"non-finite training loss {loss} at epoch {epoch + 1} "
-                    f"step {s} (reg={float(metrics['reg_loss']):.4g}, "
-                    f"cls={float(metrics['cls_loss']):.4g}) — check learning "
-                    f"rate / data; training state NOT saved"
-                )
-            losses.append(loss)
+            losses.append(metrics["loss"])
+        losses = np.asarray(jnp.stack(losses))  # single device->host sync
+        if not np.isfinite(losses).all():  # SURVEY.md §5 sanitizer row
+            bad = int(np.argmax(~np.isfinite(losses)))
+            raise FloatingPointError(
+                f"non-finite training loss {losses[bad]} at epoch {epoch + 1} "
+                f"step {bad} — check learning rate / data; training state "
+                f"NOT saved"
+            )
         mean_loss = float(np.mean(losses))
         val_loss = validation_loss(state)
         dt = time.time() - t0
@@ -158,20 +170,6 @@ def trainer_main(argv=None):
     if writer is not None:
         writer.close()
 
-
-
-import os
-
-import numpy as np
-import jax
-import jax.numpy as jnp
-
-from tpurpn import get_hyper_params
-from tpurpn.data import get_dataset, preprocess_batch
-from tpurpn.eval import proposal_recall
-from tpurpn.io_utils import get_model_path, handle_args, load_checkpoint
-from tpurpn.model import get_model, init_model
-from tpurpn.predict import make_predict_fn
 
 
 def predictor_main(argv=None):

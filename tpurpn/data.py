@@ -64,6 +64,13 @@ def preprocess_batch(
     resize ~3x faster (4.2 -> 1.4 ms at batch 128) at a max error of one
     uint8 quantization step — the serving path uses it since the model
     consumes bf16 anyway; float32 (default) matches tf.image.resize closely.
+
+    Negative result worth keeping (round 3): replacing the gather-based
+    resize with per-axis interpolation-matrix MXU matmuls — which wins 5x
+    in a standalone microbenchmark at batch 8 — measured ~10% SLOWER in
+    the full config-2 pipeline (2115 -> 1857 img/s): in context XLA
+    overlaps/fuses the gather with surrounding ops, and the matmul variant
+    serializes against the backbone's MXU work. Resize stays gather-based.
     """
     B = images.shape[0]
     x = images.astype(dtype) / jnp.asarray(255.0, dtype)
@@ -156,6 +163,7 @@ class SyntheticVOC:
         repeat: bool = False,
         drop_remainder: bool = True,
         native: Optional[bool] = None,
+        shuffle: Optional[int] = None,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Yield (images u8 (B,H,W,3), boxes (B,M,4), labels (B,M)) batches.
 
@@ -164,6 +172,12 @@ class SyntheticVOC:
         None = auto (native when this is a SyntheticVOC and the loader
         builds). Native batches use the loader's own RNG: deterministic per
         (seed, index) but different values than the Python sampler.
+
+        ``shuffle``: integer seed enabling per-epoch sample shuffling (the
+        reference's tf.data input flow shuffles between epochs — SURVEY.md
+        §2 row 7/§3.1). Each epoch draws a fresh permutation, deterministic
+        per (shuffle, epoch); None (default) keeps the fixed order tests and
+        recall metrics rely on.
         """
         use_native = False
         if native is not False and type(self) is SyntheticVOC:
@@ -173,8 +187,14 @@ class SyntheticVOC:
         epoch = 0
         num_samples = len(self)  # shared with VOCDirectory, which has no num_samples
         while True:
+            if shuffle is not None:
+                order = np.random.default_rng(
+                    (np.uint32(shuffle), np.uint32(epoch))
+                ).permutation(num_samples)
+            else:
+                order = np.arange(num_samples)
             for start in range(0, num_samples, batch_size):
-                idxs = range(start, min(start + batch_size, num_samples))
+                idxs = order[start : min(start + batch_size, num_samples)]
                 if drop_remainder and len(idxs) < batch_size:
                     continue
                 if use_native:
@@ -255,8 +275,11 @@ class VOCDirectory:
         img_id = self.split_ids[index]
         img_path = os.path.join(self.root, "JPEGImages", img_id + ".jpg")
         xml_path = os.path.join(self.root, "Annotations", img_id + ".xml")
+        # explicit BILINEAR: mirrors the reference's bilinear tf.image.resize
+        # and pins behavior across Pillow versions (default flipped to bicubic
+        # for RGB in Pillow 9.1)
         img = Image.open(img_path).convert("RGB").resize(
-            (self.raw_size[1], self.raw_size[0])
+            (self.raw_size[1], self.raw_size[0]), resample=Image.BILINEAR
         )
         boxes, labels = _parse_voc_xml(xml_path, self.max_boxes)
         return np.asarray(img, np.uint8), boxes, labels
@@ -323,9 +346,12 @@ class TfdsVOC:
         for ex in self._tfds.as_numpy(
             self._builder.as_dataset(split=self.split, shuffle_files=False)
         ):
+            # BILINEAR to match the reference's tf.image.resize (ADVICE r2:
+            # Pillow's RGB default has been bicubic since 9.1)
             img = np.asarray(
                 Image.fromarray(ex["image"]).resize(
-                    (self.raw_size[1], self.raw_size[0])
+                    (self.raw_size[1], self.raw_size[0]),
+                    resample=Image.BILINEAR,
                 ),
                 np.uint8,
             )
