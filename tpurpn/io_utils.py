@@ -43,6 +43,8 @@ def handle_args(argv=None) -> argparse.Namespace:
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all visible devices")
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--no-shuffle", action="store_true",
+                   help="disable per-epoch training-data shuffling")
     p.add_argument("--tensorboard", action="store_true",
                    help="write TensorBoard scalars (reference parity)")
     p.add_argument(
@@ -230,9 +232,11 @@ def save_keras_h5_weights(path: str, params: Any, batch_stats: Any = None) -> No
     The inverse of :func:`load_keras_h5_weights`: weights land at
     ``model_weights/<layer>/<layer>/<name>:0`` with Keras names (kernel /
     bias / gamma / beta / moving_mean / moving_variance / depthwise_kernel),
-    so a model trained here drops into the TF reference via
-    ``keras_model.load_weights(path)``. Depthwise kernels are transposed back
-    to Keras (H, W, C, 1) layout; BN biases are written as ``beta``.
+    plus the legacy ``layer_names`` / ``weight_names`` HDF5 attributes, so a
+    model trained here genuinely drops into the TF reference via
+    ``keras_model.load_weights(path, by_name=True)`` (verified against Keras 3
+    in tests/test_keras_parity.py). Depthwise kernels are transposed back to
+    Keras (H, W, C, 1) layout; BN biases are written as ``beta``.
     """
     import h5py
     from flax import traverse_util
@@ -251,20 +255,54 @@ def save_keras_h5_weights(path: str, params: Any, batch_stats: Any = None) -> No
     bn_layers = {key[-2] for key in list(p_flat) if key[-1] == "scale"}
     bn_layers |= {key[-2] for key in list(s_flat)}
 
+    # h5 groups are keyed by the bare Keras layer name (key[-2]) — valid only
+    # while layer names are globally unique, as they are in Keras models. A
+    # future model with two modules sharing a final layer name would silently
+    # merge/corrupt groups, so fail loudly instead (ADVICE r2).
+    owners: Dict[str, tuple] = {}
+    for key in list(p_flat) + list(s_flat):
+        prefix, layer = key[:-1][:-1], key[-2]
+        if owners.setdefault(layer, prefix) != prefix:
+            raise ValueError(
+                f"duplicate Keras layer name {layer!r} at module paths "
+                f"{'/'.join(owners[layer])} and {'/'.join(prefix)}: the .h5 "
+                "export keys groups by bare layer name and cannot represent "
+                "both — rename one module"
+            )
+
     _EXPORT_NAMES = {"scale": "gamma", "mean": "moving_mean", "var": "moving_variance"}
+    # Keras `layer.weights` order (what the legacy by-name loader zips
+    # against): conv [*kernel, bias]; BN [gamma, beta, moving_mean,
+    # moving_variance]
+    _WEIGHT_ORDER = ("kernel", "depthwise_kernel", "gamma", "beta", "bias",
+                     "moving_mean", "moving_variance")
+
+    layers: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, arr in list(p_flat.items()) + list(s_flat.items()):
+        layer, leaf = key[-2], key[-1]
+        if leaf == "bias" and layer in bn_layers:
+            name = "beta"
+        elif leaf == "kernel" and arr.ndim == 4 and arr.shape[2] == 1:
+            # flax grouped-conv depthwise (H, W, 1, C) -> Keras (H, W, C, 1)
+            name = "depthwise_kernel"
+            arr = arr.transpose(0, 1, 3, 2)
+        else:
+            name = _EXPORT_NAMES.get(leaf, leaf)
+        layers.setdefault(layer, {})[name] = np.asarray(arr, np.float32)
 
     with h5py.File(path, "w") as f:
         grp = f.create_group("model_weights")
-        for key, arr in list(p_flat.items()) + list(s_flat.items()):
-            layer, leaf = key[-2], key[-1]
-            if leaf == "bias" and layer in bn_layers:
-                name = "beta"
-            elif leaf == "kernel" and arr.ndim == 4 and arr.shape[2] == 1:
-                # flax grouped-conv depthwise (H, W, 1, C) -> Keras (H, W, C, 1)
-                name = "depthwise_kernel"
-                arr = arr.transpose(0, 1, 3, 2)
-            else:
-                name = _EXPORT_NAMES.get(leaf, leaf)
-            grp.require_group(layer).require_group(layer).create_dataset(
-                f"{name}:0", data=np.asarray(arr, np.float32)
+        grp.attrs["backend"] = np.bytes_(b"tensorflow")
+        grp.attrs["keras_version"] = np.bytes_(b"2.15.0")
+        grp.attrs["layer_names"] = np.array(
+            [layer.encode() for layer in layers], dtype="S64"
+        )
+        for layer, weights in layers.items():
+            g = grp.create_group(layer)
+            inner = g.create_group(layer)
+            names = sorted(weights, key=_WEIGHT_ORDER.index)
+            g.attrs["weight_names"] = np.array(
+                [f"{layer}/{n}:0".encode() for n in names], dtype="S96"
             )
+            for n in names:
+                inner.create_dataset(f"{n}:0", data=weights[n])
