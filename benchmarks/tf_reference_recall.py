@@ -1,0 +1,374 @@
+"""Head-to-head north-star accuracy: tpurpn vs the actual TF reference.
+
+BASELINE.json:5 demands "proposal recall within 1% of the TF reference".
+This script MEASURES that: it implements the reference trainer in
+TensorFlow/Keras exactly as SURVEY.md specifies it (§2 rows 3-6, §3.1/§3.3/
+§3.4 — keras.applications backbone + 3x3/1x1 head with sigmoid objectness,
+host-side ``calculate_rpn_actual_outputs`` target generation per step,
+masked Huber + clipped-BCE losses, decode -> top-k ->
+``tf.image.non_max_suppression`` selection), trains it and tpurpn on the
+IDENTICAL synthetic dataset (same SyntheticVOC seeds/indices, fixed order,
+no augmentation), and reports proposal recall@300 side by side.
+
+Scale: this host has ONE CPU core, so the TF side runs at a CPU-feasible
+size (img_size 160-250; MobileNetV2 first — SURVEY.md §6 / VERDICT r2 #1).
+Anchor scales shrink proportionally (scale * img_size / 500) so normalized
+anchor geometry is identical to the 500x500 reference config. Both sides
+share every hyper-parameter: adam(lr), batch, steps, thresholds 0.7/0.3,
+128/128 sampling, variances, BN momentum 0.99 / eps 1e-3.
+
+Usage:
+    python benchmarks/tf_reference_recall.py tf     <backbone> <img> <steps> <batch> <lr> <out.json> [bn_momentum]
+    python benchmarks/tf_reference_recall.py tpurpn <backbone> <img> <steps> <batch> <lr> <out.json> [bn_momentum]
+    python benchmarks/tf_reference_recall.py compare <tf.json> <tpurpn.json>
+
+``bn_momentum`` pins BatchNorm running-stats momentum on either side.
+Defaults: the TF side keeps keras.applications' 0.999, the tpurpn side keeps
+its HyperParams default 0.99 — i.e. each framework as shipped. At short
+training horizons 0.999 leaves running stats badly lagged, which is a real
+(and measured — see BASELINE.md) recall gap of the reference itself, not a
+pipeline difference; passing the same momentum to both sides isolates the
+training-semantics comparison from that calibration artifact.
+
+Randomness note: the two frameworks cannot share RNG streams (tf.random vs
+jax.random); the pos/neg subsample and weight init follow the same
+*distributional* contract (SURVEY.md §7 "Bit-matching TF"), and recall@300
+is the arbiter.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+TRAIN_SAMPLES = 2048  # fixed-order identical batches on both sides
+VAL_SAMPLES = 256
+
+
+def shared_config(backbone, img_size):
+    """One hyper-parameter bundle for both frameworks."""
+    scale = img_size / 500.0
+    return dict(
+        backbone=backbone,
+        img_size=int(img_size),
+        anchor_scales=tuple(s * scale for s in (128.0, 256.0, 512.0)),
+    )
+
+
+def dataset_batches(split, batch, max_boxes):
+    """The identical data stream both trainers consume: python sampler,
+    fixed order (native loader disabled: its RNG differs)."""
+    from tpurpn.data import get_dataset
+
+    n = TRAIN_SAMPLES if split == "train" else VAL_SAMPLES
+    ds = get_dataset("synthetic", split, max_boxes=max_boxes, num_samples=n)
+    return ds
+
+
+def recall_at(proposals_by_image, gt_by_image, iou_thr=0.5):
+    """Shared numpy recall@k: fraction of GT boxes covered by >= 1 proposal
+    at IoU >= iou_thr (tpurpn.eval.proposal_recall's contract)."""
+    import numpy as np
+
+    num_gt, num_rec = 0, 0
+    for props, gts in zip(proposals_by_image, gt_by_image):
+        if len(gts) == 0:
+            continue
+        num_gt += len(gts)
+        if len(props) == 0:
+            continue
+        y1 = np.maximum(props[:, None, 0], gts[None, :, 0])
+        x1 = np.maximum(props[:, None, 1], gts[None, :, 1])
+        y2 = np.minimum(props[:, None, 2], gts[None, :, 2])
+        x2 = np.minimum(props[:, None, 3], gts[None, :, 3])
+        inter = np.clip(y2 - y1, 0, None) * np.clip(x2 - x1, 0, None)
+        area_p = (props[:, 2] - props[:, 0]) * (props[:, 3] - props[:, 1])
+        area_g = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1])
+        iou = inter / np.maximum(area_p[:, None] + area_g[None] - inter, 1e-8)
+        num_rec += int((iou.max(axis=0) >= iou_thr).sum())
+    return num_rec / max(1, num_gt), num_gt
+
+
+# ---------------------------------------------------------------------------
+# The TF reference implementation (SURVEY.md §2 rows 3-6; §3.1/§3.3/§3.4)
+# ---------------------------------------------------------------------------
+
+
+def run_tf(backbone, img_size, steps, batch, lr, out_path, bn_momentum=None):
+    import os
+
+    os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # tpurpn import must not grab the TPU
+    import numpy as np
+    import tensorflow as tf
+    from tensorflow import keras
+
+    from tpurpn import generate_anchors, get_hyper_params
+
+    hp = get_hyper_params(**shared_config(backbone, img_size))
+    anchors = np.asarray(generate_anchors(hp))  # proven reference-parity grid
+    N, A, fm = hp.total_anchors, hp.anchor_count, hp.feature_map_shape
+
+    # --- model: keras.applications backbone + RPN head (SURVEY.md §3.3) ---
+    if backbone == "vgg16":
+        base = keras.applications.VGG16(
+            include_top=False, weights=None, input_shape=(img_size, img_size, 3)
+        )
+        feat = base.get_layer("block5_conv3").output
+    else:
+        base = keras.applications.MobileNetV2(
+            include_top=False, weights=None, input_shape=(img_size, img_size, 3)
+        )
+        feat = base.get_layer("block_13_expand_relu").output
+    x = keras.layers.Conv2D(512, 3, padding="same", activation="relu",
+                            name="rpn_conv")(feat)
+    cls = keras.layers.Conv2D(A, 1, activation="sigmoid", name="rpn_cls")(x)
+    reg = keras.layers.Conv2D(4 * A, 1, name="rpn_reg")(x)
+    model = keras.Model(inputs=base.input, outputs=[reg, cls])
+    if bn_momentum is not None:
+        for layer in model.layers:
+            if isinstance(layer, keras.layers.BatchNormalization):
+                layer.momentum = float(bn_momentum)
+
+    # --- host-side target generation (reference train_utils, SURVEY.md §3.4) ---
+    variances = np.asarray(hp.variances, np.float32)
+
+    def calculate_rpn_actual_outputs(gt_boxes, gt_labels, rng):
+        B = gt_boxes.shape[0]
+        out_deltas = np.zeros((B, N, 4), np.float32)
+        out_labels = np.full((B, N), -1.0, np.float32)
+        for b in range(B):
+            valid = gt_labels[b] != -1
+            gts = gt_boxes[b][valid]
+            if len(gts) == 0:
+                neg = rng.permutation(N)[: hp.total_pos_bboxes + hp.total_neg_bboxes]
+                out_labels[b, neg] = 0.0
+                continue
+            y1 = np.maximum(anchors[:, None, 0], gts[None, :, 0])
+            x1 = np.maximum(anchors[:, None, 1], gts[None, :, 1])
+            y2 = np.minimum(anchors[:, None, 2], gts[None, :, 2])
+            x2 = np.minimum(anchors[:, None, 3], gts[None, :, 3])
+            inter = np.clip(y2 - y1, 0, None) * np.clip(x2 - x1, 0, None)
+            a_area = (anchors[:, 2] - anchors[:, 0]) * (anchors[:, 3] - anchors[:, 1])
+            g_area = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1])
+            iou = inter / np.maximum(a_area[:, None] + g_area[None] - inter, 1e-8)
+            merged = iou.max(axis=1)
+            best_gt = iou.argmax(axis=1)
+            pos = merged > hp.pos_threshold
+            pos[iou.argmax(axis=0)] = True  # forced best anchor per GT
+            # balanced sampling: random ranking, keep k (randomly_select_xyz)
+            pos_idx = np.flatnonzero(pos)
+            if len(pos_idx) > hp.total_pos_bboxes:
+                drop = rng.permutation(pos_idx)[hp.total_pos_bboxes:]
+                pos[drop] = False
+                pos_idx = np.flatnonzero(pos)
+            neg = (merged < hp.neg_threshold) & ~pos
+            n_neg = hp.total_pos_bboxes + hp.total_neg_bboxes - len(pos_idx)
+            neg_idx = np.flatnonzero(neg)
+            keep = rng.permutation(neg_idx)[:n_neg]
+            out_labels[b, pos_idx] = 1.0
+            out_labels[b, keep] = 0.0
+            # deltas of matched GT at positives, / variances
+            m = gts[best_gt[pos_idx]]
+            a = anchors[pos_idx]
+            ah, aw = a[:, 2] - a[:, 0], a[:, 3] - a[:, 1]
+            acy, acx = a[:, 0] + ah / 2, a[:, 1] + aw / 2
+            gh, gw = m[:, 2] - m[:, 0], m[:, 3] - m[:, 1]
+            gcy, gcx = m[:, 0] + gh / 2, m[:, 1] + gw / 2
+            ah = np.where(ah == 0, 1e-3, ah)
+            aw = np.where(aw == 0, 1e-3, aw)
+            d = np.stack(
+                [(gcy - acy) / ah, (gcx - acx) / aw,
+                 np.log(gh / ah), np.log(gw / aw)], axis=-1)
+            out_deltas[b, pos_idx] = d / variances
+        return (out_deltas.reshape(B, fm, fm, 4 * A),
+                out_labels.reshape(B, fm, fm, A))
+
+    # --- losses (reference train_utils.reg_loss / rpn_cls_loss) ---
+    huber = keras.losses.Huber(delta=1.0, reduction="none")
+    bce = keras.losses.BinaryCrossentropy(reduction="none")
+
+    @tf.function
+    def train_step(imgs, t_deltas, t_labels):
+        with tf.GradientTape() as tape:
+            p_reg, p_cls = model(imgs, training=True)
+            t4 = tf.reshape(t_deltas, (-1, N, 4))
+            p4 = tf.reshape(p_reg, (-1, N, 4))
+            per_anchor = huber(t4, p4)  # mean over the 4 components
+            pos = tf.cast(tf.reduce_any(t4 != 0.0, axis=-1), tf.float32)
+            l_reg = tf.reduce_sum(per_anchor * pos) / tf.maximum(
+                1.0, tf.reduce_sum(pos))
+            lbl = tf.reshape(t_labels, (-1, N))
+            prb = tf.reshape(p_cls, (-1, N))
+            valid = tf.cast(lbl != -1.0, tf.float32)
+            per = bce(tf.clip_by_value(lbl, 0.0, 1.0)[..., None], prb[..., None])
+            l_cls = tf.reduce_sum(per * valid) / tf.maximum(
+                1.0, tf.reduce_sum(valid))
+            loss = l_reg + l_cls
+        grads = tape.gradient(loss, model.trainable_variables)
+        opt.apply_gradients(zip(grads, model.trainable_variables))
+        return loss
+
+    opt = keras.optimizers.Adam(learning_rate=lr)
+    rng = np.random.default_rng(0)
+    train_ds = dataset_batches("train", batch, hp.max_gt_boxes)
+
+    def preprocess(imgs_u8):
+        x = tf.image.convert_image_dtype(imgs_u8, tf.float32)
+        return tf.image.resize(x, (img_size, img_size), method="bilinear")
+
+    t0 = time.time()
+    it = train_ds.batches(batch, repeat=True, native=False)
+    loss = float("nan")
+    for s in range(steps):
+        imgs, boxes, labels = next(it)
+        t_deltas, t_labels = calculate_rpn_actual_outputs(boxes, labels, rng)
+        loss = float(train_step(preprocess(imgs), t_deltas, t_labels))
+        if s % 50 == 0 or s == steps - 1:
+            print(f"# tf step {s}: loss={loss:.4f} "
+                  f"({(time.time() - t0) / (s + 1):.2f} s/step)",
+                  file=sys.stderr, flush=True)
+    train_time = time.time() - t0
+
+    # --- eval: decode -> top-k -> tf NMS -> recall@300 (SURVEY.md §3.2) ---
+    val_ds = dataset_batches("validation", batch, hp.max_gt_boxes)
+    props, gts_all = [], []
+    for imgs, boxes, labels in val_ds.batches(batch, native=False):
+        p_reg, p_cls = model(preprocess(imgs), training=False)
+        deltas = np.asarray(p_reg).reshape(-1, N, 4) * variances
+        scores = np.asarray(p_cls).reshape(-1, N)
+        ah = anchors[:, 2] - anchors[:, 0]
+        aw = anchors[:, 3] - anchors[:, 1]
+        acy, acx = anchors[:, 0] + ah / 2, anchors[:, 1] + aw / 2
+        h = np.exp(deltas[..., 2]) * ah
+        w = np.exp(deltas[..., 3]) * aw
+        cy = deltas[..., 0] * ah + acy
+        cx = deltas[..., 1] * aw + acx
+        dec = np.stack([cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2], -1)
+        for b in range(len(imgs)):
+            order = np.argsort(-scores[b])[: hp.pre_nms_topn]
+            keep = tf.image.non_max_suppression(
+                dec[b][order], scores[b][order], hp.test_nms_topn,
+                iou_threshold=hp.nms_iou_threshold,
+            ).numpy()
+            props.append(dec[b][order][keep])
+            gts_all.append(boxes[b][labels[b] != -1])
+    rec, num_gt = recall_at(props, gts_all)
+
+    result = dict(
+        framework="tf_reference", backbone=backbone, img_size=img_size,
+        steps=steps, batch=batch, lr=lr, final_loss=round(loss, 4),
+        recall300=round(rec, 4), num_gt=num_gt,
+        train_seconds=round(train_time, 1),
+        tf_version=tf.__version__,
+        bn_momentum=bn_momentum if bn_momentum is not None else "keras_default_0.999",
+    )
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result))
+
+
+# ---------------------------------------------------------------------------
+# The tpurpn side, same data / scale / hyper-parameters
+# ---------------------------------------------------------------------------
+
+
+def run_tpurpn(backbone, img_size, steps, batch, lr, out_path, bn_momentum=None):
+    from benchmarks.common import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from tpurpn import get_hyper_params
+    from tpurpn.data import preprocess_batch
+    from tpurpn.eval import proposal_recall
+    from tpurpn.model import get_model
+    from tpurpn.predict import make_predict_fn
+    from tpurpn.train import create_train_state, make_train_step
+
+    cfg = shared_config(backbone, img_size)
+    if bn_momentum is not None:
+        cfg["bn_momentum"] = float(bn_momentum)
+    hp = get_hyper_params(**cfg)
+    model = get_model(hp)
+    state = create_train_state(hp, jax.random.key(0), tx=optax.adam(lr),
+                               model=model)
+    step = make_train_step(hp, model=model, augment=False)
+    predict = make_predict_fn(model, hp)
+    train_ds = dataset_batches("train", batch, hp.max_gt_boxes)
+    val_ds = dataset_batches("validation", batch, hp.max_gt_boxes)
+
+    key = jax.random.key(1)
+    t0 = time.time()
+    it = train_ds.batches(batch, repeat=True, native=False)
+    loss = float("nan")
+    for s in range(steps):
+        imgs, boxes, labels = next(it)
+        key, sk = jax.random.split(key)
+        state, metrics = step(state, jnp.asarray(imgs), jnp.asarray(boxes),
+                              jnp.asarray(labels), sk)
+        if s % 100 == 0 or s == steps - 1:
+            loss = float(metrics["loss"])
+            assert np.isfinite(loss), f"non-finite loss at step {s}"
+            print(f"# tpurpn step {s}: loss={loss:.4f}", file=sys.stderr,
+                  flush=True)
+    train_time = time.time() - t0
+
+    variables = {"params": state.params}
+    if jax.tree_util.tree_leaves(state.batch_stats):
+        variables["batch_stats"] = state.batch_stats
+    rec, gt = 0, 0
+    for imgs, boxes, labels in val_ds.batches(batch, native=False):
+        x, b = preprocess_batch(jnp.asarray(imgs), jnp.asarray(boxes),
+                                hp.img_size)
+        out = predict(variables, x)
+        r = proposal_recall(out["roi_boxes"], out["num_valid"], b,
+                            jnp.asarray(labels))
+        rec += int(r["num_recalled"])
+        gt += int(r["num_gt"])
+
+    result = dict(
+        framework="tpurpn", backbone=backbone, img_size=img_size,
+        steps=steps, batch=batch, lr=lr, final_loss=round(loss, 4),
+        recall300=round(rec / max(1, gt), 4), num_gt=gt,
+        train_seconds=round(train_time, 1),
+        backend=jax.default_backend(),
+        bn_momentum=hp.bn_momentum,
+    )
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result))
+
+
+def compare(tf_json, tpurpn_json):
+    with open(tf_json) as f:
+        a = json.load(f)
+    with open(tpurpn_json) as f:
+        b = json.load(f)
+    for k in ("backbone", "img_size", "steps", "batch", "lr"):
+        assert a[k] == b[k], (k, a[k], b[k])
+    delta = b["recall300"] - a["recall300"]
+    print(json.dumps({
+        "metric": f"recall300_delta_{a['backbone']}_{a['img_size']}",
+        "tf_reference": a["recall300"], "tpurpn": b["recall300"],
+        "delta": round(delta, 4), "within_1pct": abs(delta) <= 0.01 or delta > 0,
+        "steps": a["steps"], "batch": a["batch"], "lr": a["lr"],
+    }))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1]
+    if mode == "compare":
+        compare(sys.argv[2], sys.argv[3])
+    else:
+        backbone, img, steps, batch, lr, out = sys.argv[2:8]
+        bn_m = float(sys.argv[8]) if len(sys.argv) > 8 else None
+        fn = run_tf if mode == "tf" else run_tpurpn
+        fn(backbone, int(img), int(steps), int(batch), float(lr), out,
+           bn_momentum=bn_m)
