@@ -7,7 +7,11 @@ BASELINE.json:5). The reference trains on real VOC 2007 via tfds, which is
 unavailable offline (SURVEY.md §7); the synthetic fixture demonstrates the
 same training loop reaching high recall from scratch.
 
-    python benchmarks/recall_demo.py [backbone] [steps] [batch] [ckpt_dir] [lr]
+    python benchmarks/recall_demo.py [backbone] [steps] [batch] [ckpt_dir] [lr] [h5_out]
+
+With ``h5_out``, the trained weights (params + BN stats) are also exported
+as a legacy Keras .h5 — e.g. trained/rpn_mobilenet_v2_trained.h5, which
+bench.py picks up for the trained-score-distribution re-validation.
 
 Round-1 recipe (BASELINE.md): batch 16, adam 3e-4, bn_momentum 0.99; eval
 with BN running stats. With ckpt_dir, the full train state is restored from
@@ -22,7 +26,8 @@ sys.path.insert(0, ".")
 from benchmarks.common import emit, enable_compile_cache
 
 
-def main(backbone="vgg16", steps=800, batch=16, ckpt_dir=None, lr=3e-4):
+def main(backbone="vgg16", steps=800, batch=16, ckpt_dir=None, lr=3e-4,
+         h5_out=None):
     enable_compile_cache()
     import os
 
@@ -106,6 +111,15 @@ def main(backbone="vgg16", steps=800, batch=16, ckpt_dir=None, lr=3e-4):
                                    "opt_state": state.opt_state,
                                    "step": state.step})
         print(f"# saved train state -> {ckpt_dir}", file=sys.stderr)
+
+    if h5_out:
+        from tpurpn.io_utils import save_keras_h5_weights
+
+        stats = state.batch_stats if jax.tree_util.tree_leaves(
+            state.batch_stats
+        ) else None
+        save_keras_h5_weights(h5_out, state.params, stats)
+        print(f"# exported trained weights -> {h5_out}", file=sys.stderr)
 
     r1 = eval_recall(state)
     emit(
