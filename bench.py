@@ -64,9 +64,14 @@ def main():
 
     def e2e_step(variables, images, carry):
         # images are held in bf16 (the model's compute dtype — a serving
-        # pipeline hands over bf16/uint8, not fp32)
-        rpn_reg, rpn_cls = model.module.apply(
-            perturb(variables, carry), images, train=False
+        # pipeline hands over bf16/uint8, not fp32). The forward swaps the
+        # backbone mid-stage for the fused inverted-residual Pallas kernel
+        # (tpurpn.inference) — +4.7% over the pure-flax forward at batch 128
+        # (benchmarks/exp_fast_forward.py; parity in tests/test_ir_stage.py)
+        from tpurpn.inference import fast_mobilenet_forward
+
+        rpn_reg, rpn_cls = fast_mobilenet_forward(
+            hp, perturb(variables, carry), images
         )
         planes_t, scores = decode_outputs_packed(anchors, rpn_reg, rpn_cls, hp)
         out = generate_proposals_packed(planes_t, scores, hp, topn=hp.test_nms_topn)
@@ -120,17 +125,47 @@ def main():
     throughput = measure(e2e_many, variables, images)
     throughput_u8 = measure(e2e_u8_many, variables, raw_u8)
 
-    print(
-        json.dumps(
-            {
-                "metric": "mobilenet_v2_rpn_e2e_inference_500x500",
-                "value": round(throughput, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(throughput / TARGET, 3),
-                "uint8_preprocess_e2e": round(throughput_u8, 1),
-            }
-        )
+    rec = {
+        "metric": "mobilenet_v2_rpn_e2e_inference_500x500",
+        "value": round(throughput, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(throughput / TARGET, 3),
+        "uint8_preprocess_e2e": round(throughput_u8, 1),
+    }
+
+    # trained-distribution re-validation (CLAUDE.md gotcha: NMS cost depends
+    # on the score distribution; random-init scores could flatter the number).
+    # With the committed trained checkpoint, re-measure on trained weights +
+    # real synthetic-VOC frames and report the delta alongside.
+    trained_h5 = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "trained", "rpn_mobilenet_v2_trained.h5",
     )
+    if os.path.exists(trained_h5):
+        from tpurpn.data import SyntheticVOC, preprocess_batch
+        from tpurpn.io_utils import load_keras_h5_weights
+
+        params, stats, _ = load_keras_h5_weights(
+            trained_h5, base_variables["params"],
+            base_variables.get("batch_stats"),
+        )
+        _, t_variables = fold_batch_norm(
+            hp, {"params": params, "batch_stats": stats}
+        )
+        val_imgs, _, _ = next(
+            SyntheticVOC(seed=1, num_samples=BATCH).batches(BATCH)
+        )
+        t_imgs, _ = preprocess_batch(
+            jnp.asarray(val_imgs), jnp.zeros((BATCH, 1, 4)), hp.img_size,
+            dtype=jnp.bfloat16,
+        )
+        trained = measure(e2e_many, t_variables, t_imgs)
+        rec["trained_ckpt_real_frames_e2e"] = round(trained, 1)
+        rec["trained_vs_random_init_pct"] = round(
+            100.0 * (trained - throughput) / throughput, 1
+        )
+
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

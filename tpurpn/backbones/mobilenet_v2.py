@@ -116,6 +116,11 @@ class MobileNetV2Backbone(nn.Module):
     param_dtype: Any = jnp.float32
     fold_bn: bool = False
     bn_momentum: float = 0.99
+    # stop after this block_id and return its output (skipping the
+    # block_13_expand tail): the prefix half of the small-batch fused
+    # serving path (tpurpn.inference; kernels/ir_stage_pallas.py runs the
+    # remaining stride-1 blocks in one Pallas kernel)
+    stop_after_block: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -150,6 +155,10 @@ class MobileNetV2Backbone(nn.Module):
                     bn_momentum=self.bn_momentum,
                     name=name,
                 )(x, train=train)
+                if self.stop_after_block is not None and (
+                    block_id == self.stop_after_block
+                ):
+                    return x
                 block_id += 1
 
         # block_13 expansion only (96 * 6 = 576 channels), stride-16 tap

@@ -1,0 +1,198 @@
+"""Fused inverted-residual stage: N MobileNetV2 blocks in ONE Pallas kernel.
+
+Small-batch serving optimization (BASELINE config 2). The XLA forward is
+efficient at batch 128 but loses ~3x per image at batch 8
+(benchmarks/exp_smallbatch.py: 0.42 vs 0.146 ms/img) — the ~70 separate conv
+kernels each pay pipeline ramp that large batches amortize. This kernel runs
+a whole stride-1 stage — [1x1 expand -> relu6 -> 3x3 depthwise -> relu6 ->
+1x1 project -> +residual] x N blocks (+ optionally the final 1x1 expand tap)
+— per image in VMEM: ~22 XLA kernels become one Pallas program whose 1x1
+convs are back-to-back MXU matmuls over (S*S, C) activation matrices and
+whose depthwise is 9 masked sublane-shifted multiply-adds on the VPU.
+
+Numerics mirror the folded-BN flax path (model.fold_batch_norm): bf16
+matmul operands with f32 accumulation, bias + relu6 in f32, activations
+carried bf16 between blocks — the same rounding structure XLA uses, so
+outputs agree to bf16 tolerance (tests/test_ir_stage.py).
+
+Rebuilds (performance path only) part of the reference's
+``keras.applications.MobileNetV2`` forward (models/rpn_mobilenet_v2.py,
+SURVEY.md §2 row 4); the flax backbone remains the semantic source of truth.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# Static description of one fused block:
+#   (c_in, c_exp, c_out, residual)  — a full inverted residual, or
+#   (c_in, c_exp, None, False)      — expand-only tail (block_13_expand).
+BlockSpec = Tuple[int, int, int | None, bool]
+
+
+def _ir_stage_kernel(*refs, S: int, M: int, m_pad: int, blocks: Sequence[BlockSpec]):
+    x_ref = refs[0]
+    out_ref = refs[-1]
+    wrefs = list(refs[1:-1])
+
+    r = lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
+    h_idx = r // S
+    w_idx = r % S
+    row_valid = r < M
+
+    def relu6(v):
+        return jnp.clip(v, 0.0, 6.0)
+
+    def shifted_rows(a, s):
+        """out[r] = a[r+s] (rows shifted toward 0 for s>0), zero-filled."""
+        if s == 0:
+            return a
+        z = jnp.zeros((abs(s), a.shape[1]), a.dtype)
+        if s > 0:
+            return jnp.concatenate([a[s:, :], z], axis=0)
+        return jnp.concatenate([z, a[: m_pad + s, :]], axis=0)
+
+    x = x_ref[0]  # (m_pad, c_in0) bf16
+    wi = 0
+    for c_in, c_exp, c_out, residual in blocks:
+        we = wrefs[wi][...]; be = wrefs[wi + 1][...]
+        wi += 2
+        h = jnp.dot(x, we, preferred_element_type=jnp.float32) + be
+        h = relu6(h)
+        if c_out is None:  # expand-only tail
+            x = h.astype(jnp.bfloat16)
+            continue
+        kdw = wrefs[wi][...]; bdw = wrefs[wi + 1][...]
+        wp = wrefs[wi + 2][...]; bp = wrefs[wi + 3][...]
+        wi += 4
+
+        # 3x3 stride-1 SAME depthwise: 9 masked sublane-shifted mul-adds.
+        # mask: the sampled (h+dy, w+dx) must be inside the S x S grid, and
+        # the row itself real — padded rows never contribute.
+        acc = jnp.zeros((m_pad, c_exp), jnp.float32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                s = dy * S + dx
+                m = (
+                    (h_idx + dy >= 0) & (h_idx + dy < S)
+                    & (w_idx + dx >= 0) & (w_idx + dx < S)
+                    & row_valid
+                )
+                mf = jnp.where(m, 1.0, 0.0)  # (m_pad, 1)
+                tap = kdw[(dy + 1) * 3 + (dx + 1) : (dy + 1) * 3 + (dx + 2), :]
+                acc = acc + shifted_rows(h, s) * mf * tap
+        h2 = relu6(acc + bdw).astype(jnp.bfloat16)
+
+        y = jnp.dot(h2, wp, preferred_element_type=jnp.float32) + bp
+        y = y.astype(jnp.bfloat16)
+        if residual:
+            y = (x + y).astype(jnp.bfloat16)
+        x = y
+
+    out_ref[0] = x
+
+
+@functools.partial(jax.jit, static_argnames=("blocks", "interpret"))
+def fused_ir_stage(
+    x: jnp.ndarray,
+    weights: Tuple[jnp.ndarray, ...],
+    blocks: Tuple[BlockSpec, ...],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run ``blocks`` fused over ``x``.
+
+    Args:
+      x: (B, S, S, c_in0) bf16 feature map (stride-1 stage input).
+      weights: flat tuple from :func:`pack_stage_weights`.
+      blocks: static per-block channel spec (see BlockSpec above).
+
+    Returns (B, S, S, c_last) bf16.
+    """
+    B, S, S2, C0 = x.shape
+    assert S == S2, (S, S2)
+    M = S * S
+    m_pad = _round_up(M, 8)
+    c_last = next(
+        (c_exp if c_out is None else c_out)
+        for (c_in, c_exp, c_out, _) in [blocks[-1]]
+    )
+
+    xr = jnp.zeros((B, m_pad, C0), jnp.bfloat16)
+    xr = xr.at[:, :M].set(x.reshape(B, M, C0).astype(jnp.bfloat16))
+
+    kernel = functools.partial(
+        _ir_stage_kernel, S=S, M=M, m_pad=m_pad, blocks=blocks
+    )
+    w_specs = [
+        pl.BlockSpec(w.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, m_pad, C0), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((1, m_pad, c_last), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, m_pad, c_last), jnp.bfloat16),
+        interpret=interpret,
+    )(xr, *weights)
+    return out[:, :M].reshape(B, S, S, c_last)
+
+
+def pack_stage_weights(
+    bb_params, block_names: Sequence[str], tail_expand: str | None = None
+) -> Tuple[Tuple[jnp.ndarray, ...], Tuple[BlockSpec, ...]]:
+    """Flatten folded-BN backbone params for ``block_names`` (+ optional
+    expand-only tail layer) into the kernel's operand list.
+
+    ``bb_params`` is variables["params"]["backbone"] AFTER model
+    fold_batch_norm (convs carry biases, no BN entries).
+    """
+    weights: List[jnp.ndarray] = []
+    blocks: List[BlockSpec] = []
+
+    def as2d(kernel):  # (1,1,Cin,Cout) -> (Cin,Cout)
+        return jnp.asarray(kernel).reshape(kernel.shape[-2], kernel.shape[-1])
+
+    def bias_row(b):
+        return jnp.asarray(b).reshape(1, -1)
+
+    for name in block_names:
+        blk = bb_params[name]
+        we = as2d(blk[f"{name}_expand"]["kernel"])
+        be = bias_row(blk[f"{name}_expand"]["bias"])
+        kdw = jnp.asarray(blk[f"{name}_depthwise"]["kernel"]).reshape(9, -1)
+        bdw = bias_row(blk[f"{name}_depthwise"]["bias"])
+        wp = as2d(blk[f"{name}_project"]["kernel"])
+        bp = bias_row(blk[f"{name}_project"]["bias"])
+        c_in, c_exp = we.shape
+        c_out = wp.shape[1]
+        weights += [
+            we.astype(jnp.bfloat16), be.astype(jnp.float32),
+            kdw.astype(jnp.float32), bdw.astype(jnp.float32),
+            wp.astype(jnp.bfloat16), bp.astype(jnp.float32),
+        ]
+        blocks.append((c_in, c_exp, c_out, c_in == c_out))
+    if tail_expand is not None:
+        te = bb_params[tail_expand]
+        we = as2d(te["kernel"])
+        weights += [we.astype(jnp.bfloat16),
+                    bias_row(te["bias"]).astype(jnp.float32)]
+        blocks.append((we.shape[0], we.shape[1], None, False))
+    return tuple(weights), tuple(blocks)

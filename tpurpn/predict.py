@@ -210,7 +210,8 @@ def generate_proposals_planes(
     )
 
 
-def make_predict_fn(model, hp: HyperParams, topn: int | None = None, mesh=None):
+def make_predict_fn(model, hp: HyperParams, topn: int | None = None, mesh=None,
+                    fast: bool = False):
     """Build the full jitted inference step: images -> proposals.
 
     Mirrors the reference predictor's per-batch flow
@@ -223,13 +224,29 @@ def make_predict_fn(model, hp: HyperParams, topn: int | None = None, mesh=None):
     image's proposals are computed on its shard's device with no cross-device
     communication (proposal selection is per-image), so serving throughput
     scales linearly over the mesh.
+
+    ``fast=True`` (TPU + folded-BN mobilenet_v2 only) swaps the backbone
+    mid-stage for the fused inverted-residual Pallas kernel
+    (tpurpn.inference) — the small-batch serving optimization; outputs agree
+    with the flax forward at bf16 tolerance (tests/test_ir_stage.py).
     """
     anchors = generate_anchors(hp)
     out_topn = hp.test_nms_topn if topn is None else topn
     use_planes = jax.default_backend() == "tpu"
+    if fast:
+        assert hp.backbone == "mobilenet_v2" and getattr(
+            model.module, "fold_bn", False
+        ), "fast=True requires the folded-BN mobilenet_v2 model"
 
     def predict_fn(variables, images):
-        rpn_reg, rpn_cls_logits = model.module.apply(variables, images, train=False)
+        if fast:
+            from .inference import fast_mobilenet_forward
+
+            rpn_reg, rpn_cls_logits = fast_mobilenet_forward(hp, variables, images)
+        else:
+            rpn_reg, rpn_cls_logits = model.module.apply(
+                variables, images, train=False
+            )
         if use_planes:
             planes_t, scores = decode_outputs_packed(anchors, rpn_reg, rpn_cls_logits, hp)
             return generate_proposals_packed(planes_t, scores, hp, topn=out_topn)
