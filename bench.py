@@ -47,20 +47,12 @@ def main():
     model, variables = fold_batch_norm(hp, base_variables)
     anchors = generate_anchors(hp)
 
-    def perturb(variables, carry):
-        # keep every scan iteration data-dependent (so XLA can't hoist the
-        # loop-invariant body) by nudging ONE bias vector by carry*1e-20 —
-        # unlike an `images + carry` add this costs nothing: a (32,) add vs a
-        # full 192 MB image-tensor read+write (~0.3 ms/step artifact)
-        done = [False]
+    # keep every scan iteration data-dependent (so XLA can't hoist the
+    # loop-invariant body): shared helper, see benchmarks/common.py
+    import sys
 
-        def nudge(x):
-            if x.ndim == 1 and not done[0]:
-                done[0] = True
-                return x + jnp.asarray(carry * 1e-20, x.dtype)
-            return x
-
-        return jax.tree_util.tree_map(nudge, variables)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.common import perturb_variables as perturb
 
     def e2e_step(variables, images, carry):
         # images are held in bf16 (the model's compute dtype — a serving

@@ -25,6 +25,26 @@ def enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def perturb_variables(variables, carry):
+    """Make a variables pytree data-dependent on a scan carry — nudge ONE
+    1-D leaf (a bias) by carry*1e-20. Without this, a scanned step body that
+    doesn't consume the carry is loop-invariant and XLA hoists it: the scan
+    times ONE iteration (an early probe reported an impossible 86k img/s
+    exactly this way — benchmarks/exp_smallbatch.py docstring). The (32,)
+    add costs nothing, unlike an `images + carry` which pays a full
+    image-tensor read+write per step.
+    """
+    done = [False]
+
+    def nudge(x):
+        if x.ndim == 1 and not done[0]:
+            done[0] = True
+            return x + jnp.asarray(carry * 1e-20, x.dtype)
+        return x
+
+    return jax.tree_util.tree_map(nudge, variables)
+
+
 def time_scan_chained(step_to_scalar: Callable, *args, iters: int = 10) -> float:
     """Time `step_to_scalar(*args, carry)->scalar` chained `iters` times inside
     one jitted scan. Returns seconds per step."""

@@ -7,7 +7,8 @@ import sys
 
 sys.path.insert(0, ".")
 
-from benchmarks.common import emit, enable_compile_cache, time_scan_chained
+from benchmarks.common import (emit, enable_compile_cache, perturb_variables
+                               as perturb, time_scan_chained)
 
 
 def main():
@@ -26,17 +27,6 @@ def main():
         hp, init_model(get_model(hp), jax.random.key(0))
     )
     anchors = generate_anchors(hp)
-
-    def perturb(variables, carry):
-        done = [False]
-
-        def nudge(x):
-            if x.ndim == 1 and not done[0]:
-                done[0] = True
-                return x + jnp.asarray(carry * 1e-20, x.dtype)
-            return x
-
-        return jax.tree_util.tree_map(nudge, variables)
 
     def fwd_flax(variables, images, c):
         reg, cls = model.module.apply(perturb(variables, c), images, train=False)

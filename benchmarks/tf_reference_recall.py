@@ -357,7 +357,9 @@ def compare(tf_json, tpurpn_json):
     print(json.dumps({
         "metric": f"recall300_delta_{a['backbone']}_{a['img_size']}",
         "tf_reference": a["recall300"], "tpurpn": b["recall300"],
-        "delta": round(delta, 4), "within_1pct": abs(delta) <= 0.01 or delta > 0,
+        "delta": round(delta, 4),
+        "within_1pct": abs(delta) <= 0.01,
+        "not_worse_than_1pct": delta >= -0.01,  # the BASELINE.json criterion
         "steps": a["steps"], "batch": a["batch"], "lr": a["lr"],
     }))
 

@@ -38,22 +38,16 @@ _FUSED_BLOCKS = ("block_7", "block_8", "block_9", "block_10", "block_11",
 
 
 class RPNHeadOnly(nn.Module):
-    """The RPN head alone (same layer names/params as model.RPN's head)."""
+    """The RPN head alone — delegates to model.apply_rpn_head, so the layer
+    names and arithmetic are THE SAME code as model.RPN's head (no drift)."""
 
     hp: HyperParams
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        hp = self.hp
-        conv_kw = dict(
-            dtype=jnp.dtype(hp.compute_dtype),
-            param_dtype=jnp.dtype(hp.param_dtype),
-        )
-        x = nn.Conv(512, (3, 3), padding="SAME", name="rpn_conv", **conv_kw)(feat)
-        x = nn.relu(x)
-        rpn_cls = nn.Conv(hp.anchor_count, (1, 1), name="rpn_cls", **conv_kw)(x)
-        rpn_reg = nn.Conv(4 * hp.anchor_count, (1, 1), name="rpn_reg", **conv_kw)(x)
-        return rpn_reg.astype(jnp.float32), rpn_cls.astype(jnp.float32)
+        from .model import apply_rpn_head
+
+        return apply_rpn_head(self.hp, feat)
 
 
 def fast_mobilenet_forward(

@@ -124,10 +124,8 @@ def fused_ir_stage(
     assert S == S2, (S, S2)
     M = S * S
     m_pad = _round_up(M, 8)
-    c_last = next(
-        (c_exp if c_out is None else c_out)
-        for (c_in, c_exp, c_out, _) in [blocks[-1]]
-    )
+    _, last_exp, last_out, _ = blocks[-1]
+    c_last = last_exp if last_out is None else last_out
 
     xr = jnp.zeros((B, m_pad, C0), jnp.bfloat16)
     xr = xr.at[:, :M].set(x.reshape(B, M, C0).astype(jnp.bfloat16))

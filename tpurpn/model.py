@@ -28,6 +28,27 @@ from .config import HyperParams
 from .backbones import VGG16Backbone, MobileNetV2Backbone
 
 
+def apply_rpn_head(hp: HyperParams, feat: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The RPN head (3x3 rpn_conv + 1x1 rpn_cls / rpn_reg), shared by RPN
+    and the fast serving path (tpurpn.inference.RPNHeadOnly).
+
+    Must be called inside an ``@nn.compact`` ``__call__`` — the convs
+    register as direct children of the calling module, so the parameter
+    names (rpn_conv/rpn_cls/rpn_reg) are identical wherever it is used.
+    """
+    conv_kw = dict(
+        dtype=jnp.dtype(hp.compute_dtype),
+        param_dtype=jnp.dtype(hp.param_dtype),
+    )
+    x = nn.Conv(512, (3, 3), padding="SAME", name="rpn_conv", **conv_kw)(feat)
+    x = nn.relu(x)
+    rpn_cls = nn.Conv(hp.anchor_count, (1, 1), name="rpn_cls", **conv_kw)(x)
+    rpn_reg = nn.Conv(4 * hp.anchor_count, (1, 1), name="rpn_reg", **conv_kw)(x)
+    # head outputs in fp32: small tensors, and the loss/decode math wants
+    # full precision
+    return rpn_reg.astype(jnp.float32), rpn_cls.astype(jnp.float32)
+
+
 class RPN(nn.Module):
     """Flax module: image batch -> (rpn_reg, rpn_cls_logits)."""
 
@@ -57,14 +78,7 @@ class RPN(nn.Module):
             raise ValueError(f"unknown backbone {hp.backbone!r}")
 
         feat = backbone(images, train=train)
-        conv_kw = dict(dtype=dtype, param_dtype=param_dtype)
-        x = nn.Conv(512, (3, 3), padding="SAME", name="rpn_conv", **conv_kw)(feat)
-        x = nn.relu(x)
-        rpn_cls = nn.Conv(hp.anchor_count, (1, 1), name="rpn_cls", **conv_kw)(x)
-        rpn_reg = nn.Conv(4 * hp.anchor_count, (1, 1), name="rpn_reg", **conv_kw)(x)
-        # head outputs in fp32: small tensors, and the loss/decode math wants
-        # full precision
-        return rpn_reg.astype(jnp.float32), rpn_cls.astype(jnp.float32)
+        return apply_rpn_head(hp, feat)
 
 
 @dataclasses.dataclass

@@ -79,7 +79,10 @@ def selection_keys(rand_words: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def select_by_keys(
-    cand: jnp.ndarray, rand_words: jnp.ndarray, k_eff: jnp.ndarray
+    cand: jnp.ndarray,
+    rand_words: jnp.ndarray,
+    k_eff: jnp.ndarray,
+    k_max: int | None = None,
 ) -> jnp.ndarray:
     """Keep the ``k_eff`` candidates with the smallest selection keys.
 
@@ -88,11 +91,22 @@ def select_by_keys(
     min(budget, available)). Returns the (B, N) bool selected mask.
     This is THE subsampling rule of the framework — the Pallas target kernel
     computes the identical selection in-kernel from the same words.
+
+    ``k_max``: static upper bound on ``k_eff``. When given, the threshold
+    comes from one ``lax.top_k(k_max)`` instead of a full O(N log N) sort
+    — the train-step callers bound it by hp.total_pos/minibatch size.
+    Selection is identical either way (same k-th-smallest threshold).
     """
     N = cand.shape[-1]
     keys = jnp.where(cand, selection_keys(rand_words, N), KEY_SENTINEL)
-    sorted_keys = jnp.sort(keys, axis=-1)
-    k_idx = jnp.clip(k_eff.astype(jnp.int32) - 1, 0, N - 1)
+    if k_max is not None and k_max < N:
+        # top_k of the negated keys = the k_max smallest keys, ascending
+        neg_top, _ = jax.lax.top_k(-keys, k_max)
+        sorted_keys = -neg_top
+        k_idx = jnp.clip(k_eff.astype(jnp.int32) - 1, 0, k_max - 1)
+    else:
+        sorted_keys = jnp.sort(keys, axis=-1)
+        k_idx = jnp.clip(k_eff.astype(jnp.int32) - 1, 0, N - 1)
     thr = jnp.take_along_axis(sorted_keys, k_idx[:, None], axis=1)
     thr = jnp.where(k_eff[:, None] > 0, thr, -1)
     return keys <= thr
@@ -122,8 +136,7 @@ def random_select_mask(
     broadcastable (...,) int.
 
     ``k_max``: static upper bound on ``max_count``. When given, selection is
-    one ``lax.top_k(k_max)`` + scatter instead of two full argsorts over N —
-    the train-step callers bound it by hp.total_pos/neg_bboxes.
+    one ``lax.top_k(k_max)`` + scatter instead of two full argsorts over N.
     """
     r = jax.random.uniform(key, mask.shape)
     scores = jnp.where(mask, r, -1.0)
@@ -232,6 +245,7 @@ def calculate_rpn_actual_outputs(
     pos_mask = select_by_keys(
         pos_cand, rand_bits[:, 0],
         jnp.minimum(float(hp.total_pos_bboxes), avail_pos),
+        k_max=hp.total_pos_bboxes,
     )
     pos_count = jnp.sum(pos_mask, axis=-1).astype(jnp.float32)  # (B,)
 
@@ -243,6 +257,7 @@ def calculate_rpn_actual_outputs(
             float(hp.total_pos_bboxes + hp.total_neg_bboxes) - pos_count,
             avail_neg,
         ),
+        k_max=hp.total_pos_bboxes + hp.total_neg_bboxes,
     )
 
     labels = jnp.where(pos_mask, 1.0, jnp.where(neg_mask, 0.0, -1.0)).astype(
