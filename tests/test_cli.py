@@ -49,10 +49,12 @@ def test_trainer_then_predictor_roundtrip(tmp_path):
     r2 = run_cli(
         "rpn_predictor.py",
         "--backbone", "mobilenet_v2", "--img-size", "64", "--batch-size", "2",
-        "--weights", ckpt, "--output-dir", out_dir,
+        "--weights", ckpt, "--output-dir", out_dir, "--fast",
     )
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "proposal recall@300" in r2.stdout
+    # --fast needs a TPU; on the CPU test backend it must warn and fall back
+    assert "ignoring" in r2.stdout
     assert os.path.exists(os.path.join(out_dir, "proposals_mobilenet_v2.png"))
 
 

@@ -204,13 +204,22 @@ def predictor_main(argv=None):
         print(f"[tpurpn] WARNING: no weights at {weights}; using random init")
 
     # fold BatchNorms into conv weights for inference (same math, faster)
+    folded = False
     if "batch_stats" in variables and jax.tree_util.tree_leaves(
         variables.get("batch_stats", {})
     ):
         from tpurpn.model import fold_batch_norm
 
         model, variables = fold_batch_norm(hp, variables)
-    predict = make_predict_fn(model, hp)
+        folded = True
+    fast = bool(getattr(args, "fast", False))
+    if fast and not (
+        args.backbone == "mobilenet_v2" and folded
+        and jax.default_backend() == "tpu"
+    ):
+        print("[tpurpn] --fast needs TPU + folded-BN mobilenet_v2; ignoring")
+        fast = False
+    predict = make_predict_fn(model, hp, fast=fast)
     ds = get_dataset(args.dataset, "test", max_boxes=hp.max_gt_boxes)
 
     recalls, total_gt = [], 0

@@ -45,6 +45,9 @@ def handle_args(argv=None) -> argparse.Namespace:
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--no-shuffle", action="store_true",
                    help="disable per-epoch training-data shuffling")
+    p.add_argument("--fast", action="store_true",
+                   help="predictor: fused inverted-residual-stage forward "
+                        "(TPU + folded-BN mobilenet_v2 only)")
     p.add_argument("--tensorboard", action="store_true",
                    help="write TensorBoard scalars (reference parity)")
     p.add_argument(
