@@ -32,12 +32,14 @@ def _close(a, b, rel=0.02):
 
 
 @pytest.mark.slow
-def test_fused_stage_matches_flax_tap(rng):
+@pytest.mark.parametrize("img", [128, 160])  # S=8, and S=10 (padded rows)
+def test_fused_stage_matches_flax_tap(rng, img):
     """Backbone tap output: prefix + fused stage == full folded backbone."""
-    hp, fmodel, fvars = _folded(128)  # S=8 at the tap — fast in interpret
+    hp, fmodel, fvars = _folded(img)
+    S = hp.feature_map_shape
     bb = fvars["params"]["backbone"]
     x = jnp.asarray(
-        rng.uniform(0, 1, (2, 128, 128, 3)).astype(np.float32)
+        rng.uniform(0, 1, (2, img, img, 3)).astype(np.float32)
     ).astype(jnp.bfloat16)
 
     full = MobileNetV2Backbone(fold_bn=True).apply(
@@ -52,13 +54,13 @@ def test_fused_stage_matches_flax_tap(rng):
     feat6 = prefix.apply(
         {"params": {k: bb[k] for k in _PREFIX_MODULES}}, x, train=False
     )
-    assert feat6.shape == (2, 8, 8, 64)
+    assert feat6.shape == (2, S, S, 64)
     weights, blocks = pack_stage_weights(
         bb, _FUSED_BLOCKS, tail_expand="block_13_expand"
     )
     fast = fused_ir_stage(feat6.astype(jnp.bfloat16), weights, blocks,
                           interpret=True)
-    assert fast.shape == full.shape == (2, 8, 8, 576)
+    assert fast.shape == full.shape == (2, S, S, 576)
     _close(fast, full)
 
 
