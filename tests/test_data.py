@@ -194,6 +194,55 @@ def test_batches_shuffle_per_epoch():
     assert order(6)[:12] != e1  # different seed, different permutation
 
 
+def test_coco_json_loader(tmp_path):
+    """CocoJson: COCO [x,y,w,h] pixels -> normalized y1x1y2x2, contiguous
+    labels with -1 padding, iscrowd skipped, same batch interface."""
+    import json
+
+    from PIL import Image
+
+    img_dir = tmp_path / "val"
+    img_dir.mkdir()
+    for name, (w, h) in (("a.jpg", (40, 20)), ("b.jpg", (30, 30))):
+        Image.new("RGB", (w, h), (100, 50, 25)).save(img_dir / name)
+    coco = {
+        "images": [
+            {"id": 7, "file_name": "a.jpg", "width": 40, "height": 20},
+            {"id": 3, "file_name": "b.jpg", "width": 30, "height": 30},
+        ],
+        # sparse, non-contiguous category ids (like real COCO)
+        "categories": [{"id": 18}, {"id": 2}],
+        "annotations": [
+            {"image_id": 7, "bbox": [10, 5, 20, 10], "category_id": 18},
+            {"image_id": 7, "bbox": [0, 0, 4, 4], "category_id": 2,
+             "iscrowd": 1},
+            {"image_id": 3, "bbox": [3, 6, 9, 12], "category_id": 2},
+        ],
+    }
+    ann = tmp_path / "annotations" / "instances_val.json"
+    ann.parent.mkdir()
+    ann.write_text(json.dumps(coco))
+
+    ds = get_dataset(str(ann), max_boxes=4, raw_size=(16, 16))
+    assert len(ds) == 2
+    # images sorted by id: index 0 -> id 3 (b.jpg), index 1 -> id 7 (a.jpg)
+    img, boxes, labels = ds.sample(1)
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    np.testing.assert_allclose(
+        boxes[0], [5 / 20, 10 / 40, 15 / 20, 30 / 40], atol=1e-6
+    )
+    assert labels[0] == 2  # cat id 18 -> contiguous 2 (sorted: 2->1, 18->2)
+    assert (labels[1:] == -1).all()  # iscrowd skipped, rest padding
+    img2, boxes2, labels2 = ds.sample(0)
+    np.testing.assert_allclose(
+        boxes2[0], [6 / 30, 3 / 30, 18 / 30, 12 / 30], atol=1e-6
+    )
+    assert labels2[0] == 1
+    # batch interface shared with the VOC sources
+    b_imgs, b_boxes, b_labels = next(ds.batches(2, native=False))
+    assert b_imgs.shape == (2, 16, 16, 3) and b_boxes.shape == (2, 4, 4)
+
+
 def test_get_dataset_tfds_requires_tfds(monkeypatch):
     """get_dataset('voc/2007') routes to TfdsVOC; without tensorflow_datasets
     installed it must raise a clear ImportError. Simulate absence by blocking

@@ -372,6 +372,70 @@ class TfdsVOC:
     batches = SyntheticVOC.batches  # same batching logic
 
 
+@dataclasses.dataclass
+class CocoJson:
+    """COCO-format detection data: an ``instances_*.json`` + an image dir.
+
+    Beyond the reference's data surface (tf-rpn is VOC-only): BASELINE
+    config 5 is "COCO-scale RPN training" (BASELINE.json:11), and this
+    loader feeds it real COCO annotations through the same
+    (images u8, boxes, labels) interface as the VOC sources. Boxes come as
+    COCO pixel ``[x, y, w, h]`` and are converted to normalized
+    ``[y1, x1, y2, x2]``; ``iscrowd`` annotations are skipped; category ids
+    (non-contiguous in COCO) are remapped to contiguous 1..K with 0 =
+    background, matching the label conventions everywhere else.
+    """
+
+    ann_file: str
+    images_dir: Optional[str] = None
+    max_boxes: int = 64
+    raw_size: Tuple[int, int] = (500, 500)
+
+    def __post_init__(self):
+        import json
+
+        with open(self.ann_file) as f:
+            coco = json.load(f)
+        if self.images_dir is None:
+            # annotations/instances_train2017.json -> <root>/train2017
+            base = os.path.basename(self.ann_file)
+            split = base.replace("instances_", "").rsplit(".", 1)[0]
+            root = os.path.dirname(os.path.dirname(os.path.abspath(self.ann_file)))
+            self.images_dir = os.path.join(root, split)
+        cat_ids = sorted(c["id"] for c in coco.get("categories", []))
+        self._cat_map = {cid: i + 1 for i, cid in enumerate(cat_ids)}
+        self._images = sorted(coco["images"], key=lambda im: im["id"])
+        anns_by_img: dict = {}
+        for a in coco.get("annotations", []):
+            if a.get("iscrowd", 0):
+                continue
+            anns_by_img.setdefault(a["image_id"], []).append(a)
+        self._anns = anns_by_img
+
+    def __len__(self) -> int:
+        return len(self._images)
+
+    def sample(self, index: int):
+        from PIL import Image
+
+        info = self._images[index]
+        img = Image.open(
+            os.path.join(self.images_dir, info["file_name"])
+        ).convert("RGB").resize(
+            (self.raw_size[1], self.raw_size[0]), resample=Image.BILINEAR
+        )
+        w, h = float(info["width"]), float(info["height"])
+        boxes = np.zeros((self.max_boxes, 4), np.float32)
+        labels = np.full((self.max_boxes,), -1, np.int32)
+        for i, a in enumerate(self._anns.get(info["id"], [])[: self.max_boxes]):
+            x, y, bw, bh = a["bbox"]
+            boxes[i] = (y / h, x / w, (y + bh) / h, (x + bw) / w)
+            labels[i] = self._cat_map.get(a["category_id"], 0)
+        return np.asarray(img, np.uint8), boxes, labels
+
+    batches = SyntheticVOC.batches  # same batching logic
+
+
 class Prefetcher:
     """Background-thread batch prefetcher (depth-bounded queue).
 
@@ -444,8 +508,13 @@ def get_dataset(
     name="synthetic"  -> SyntheticVOC (split selects a disjoint seed);
     name="voc/2007"   -> tensorflow_datasets (the reference's source; needs
                          tfds installed — SURVEY.md §2 row 7);
+    name=<x.json>     -> COCO instances file (CocoJson; split is implied by
+                         which annotations file you point at);
     name=<path>       -> VOC directory on disk.
     """
+    if name.endswith(".json"):
+        kwargs.pop("split", None)
+        return CocoJson(ann_file=name, **kwargs)
     if name == "synthetic":
         # stable hash for unknown splits: str hash is randomized per process
         import zlib
