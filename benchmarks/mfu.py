@@ -47,17 +47,19 @@ def main(batch=32, backbone="vgg16", img_size=500):
     flops = float(cost["flops"])
 
     # timing: chain steps through the state carry across dispatches; the
-    # final scalar pull is the single host sync
+    # final scalar pull is the single host sync. The state must be carried
+    # FORWARD through all reps: the step donates its input state, so
+    # restarting a rep from a saved state re-submits donated buffers
+    # (INVALID_ARGUMENT on this backend).
     state, m = step(state, imgs, boxes, labels, key)
     float(m["loss"])  # warm
     best = float("inf")
     iters = 20
     for _ in range(3):
-        s = state
         t0 = time.perf_counter()
         for _ in range(iters):
             key, sk = jax.random.split(key)
-            s, m = step(s, imgs, boxes, labels, sk)
+            state, m = step(state, imgs, boxes, labels, sk)
         float(m["loss"])
         best = min(best, (time.perf_counter() - t0) / iters)
 

@@ -212,6 +212,10 @@ def predictor_main(argv=None):
 
         model, variables = fold_batch_norm(hp, variables)
         folded = True
+    # commit to device: .h5-loaded weights are host numpy, and host-resident
+    # leaves are re-uploaded on every predict call (~10 ms/call through the
+    # axon tunnel for VGG16's 56 MB; benchmarks/exp_trained_fwd.py)
+    variables = jax.device_put(variables)
     fast = bool(getattr(args, "fast", False))
     if fast and not (
         args.backbone == "mobilenet_v2" and folded

@@ -129,13 +129,19 @@ def fold_batch_norm(hp: HyperParams, variables):
     over large activations from the MobileNetV2 forward.
 
     Returns (folded_model, folded_variables) for an RPN(fold_bn=True) module;
-    VGG16 has no BN and is returned as-is (minus batch_stats).
+    VGG16 has no BN and is returned as-is (minus batch_stats). The returned
+    variables are committed to the default device: weights loaded from .h5
+    arrive as host numpy, and leaves that skip the fold math (the BN-less
+    head convs — rpn_conv alone is 10.6 MB) would otherwise stay
+    host-resident and be re-uploaded through the dispatch path on every
+    inference call (~10 ms/call through the axon tunnel; see
+    benchmarks/exp_trained_fwd.py for the measurement).
     """
     import numpy as np
 
     model = RPNModel(hp=hp, module=RPN(hp=hp, fold_bn=True))
     if hp.backbone != "mobilenet_v2":
-        return model, {"params": variables["params"]}
+        return model, jax.device_put({"params": variables["params"]})
 
     params = jax.tree_util.tree_map(lambda x: x, variables["params"])  # copy
     stats = variables["batch_stats"]
@@ -173,4 +179,4 @@ def fold_batch_norm(hp: HyperParams, variables):
 
     new_params = {k: v for k, v in params.items() if k != "backbone"}
     new_params["backbone"] = new_bb
-    return model, {"params": new_params}
+    return model, jax.device_put({"params": new_params})
