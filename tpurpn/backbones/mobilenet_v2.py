@@ -121,6 +121,10 @@ class MobileNetV2Backbone(nn.Module):
     # serving path (tpurpn.inference; kernels/ir_stage_pallas.py runs the
     # remaining stride-1 blocks in one Pallas kernel)
     stop_after_block: int | None = None
+    # accept a precomputed Conv1 output (B, ceil(H/2), ceil(W/2), 32),
+    # post-activation, instead of raw images: the space-to-depth serving
+    # stem (tpurpn.inference.s2d_conv1) computes Conv1 outside the module
+    skip_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -135,10 +139,11 @@ class MobileNetV2Backbone(nn.Module):
             param_dtype=self.param_dtype,
         )
         x = x.astype(self.dtype)
-        x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME", name="Conv1", **conv_kw)(x)
-        if not self.fold_bn:
-            x = nn.BatchNorm(name="bn_Conv1", **bn_kw)(x)
-        x = relu6(x)
+        if not self.skip_stem:
+            x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME", name="Conv1", **conv_kw)(x)
+            if not self.fold_bn:
+                x = nn.BatchNorm(name="bn_Conv1", **bn_kw)(x)
+            x = relu6(x)
 
         block_id = 0
         for num_blocks, expansion, channels, first_stride in _STAGES:
