@@ -140,3 +140,20 @@ def test_fold_batch_norm_vgg_passthrough():
     a = model.apply(variables, imgs)
     b = folded_model.apply(folded_vars, imgs)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_fold_batch_norm_commits_to_device():
+    """Weights loaded from .h5 arrive as host numpy; leaves that skip the
+    fold math (the BN-less head convs) must not stay host-resident or they
+    are re-uploaded on every inference dispatch (~10 ms/call through the
+    axon tunnel — benchmarks/exp_trained_fwd.py)."""
+    from tpurpn.model import fold_batch_norm
+
+    hp = get_hyper_params("mobilenet_v2", img_size=64, compute_dtype="float32")
+    variables = init_model(get_model(hp), jax.random.key(0))
+    # simulate the .h5 load: whole tree as host numpy
+    host_vars = jax.tree_util.tree_map(np.asarray, variables)
+    _, folded = fold_batch_norm(hp, host_vars)
+    assert not any(
+        isinstance(v, np.ndarray) for v in jax.tree_util.tree_leaves(folded)
+    )
