@@ -65,6 +65,30 @@ def test_fused_stage_matches_flax_tap(rng, img):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("split,dw_bf16", [(2, False), (2, True), (4, False)])
+def test_fused_stage_chunked_expand_parity(rng, split, dw_bf16):
+    """c_exp_split chunks the expand channels (VMEM relief for large-S
+    stages): expand -> depthwise -> partial projection per chunk must
+    agree with split=1 at bf16 tolerance (the chunked f32 partial sums
+    round differently at the final bf16 cast — measured 1-ulp)."""
+    hp, fmodel, fvars = _folded(160)
+    bb = fvars["params"]["backbone"]
+    from tpurpn.kernels.ir_stage_pallas import (fused_ir_stage,
+                                                pack_stage_weights)
+
+    # blocks 4-5: the uniform (c_exp=192, c_out=32) stage the split targets
+    w45, blocks45 = pack_stage_weights(bb, ("block_4", "block_5"))
+    x = jnp.asarray(
+        rng.uniform(-1, 1, (2, 9, 9, 32)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    ref = fused_ir_stage(x, w45, blocks45, interpret=True)
+    got = fused_ir_stage(x, w45, blocks45, interpret=True,
+                         c_exp_split=split, dw_input_bf16=dw_bf16,
+                         vmem_limit_mb=64)
+    _close(got, ref)
+
+
+@pytest.mark.slow
 def test_fast_forward_matches_model(rng):
     """Full fast path (prefix + kernel + head) vs model.apply."""
     hp, fmodel, fvars = _folded(128)

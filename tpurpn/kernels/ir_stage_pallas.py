@@ -42,10 +42,27 @@ def _round_up(x: int, m: int) -> int:
 BlockSpec = Tuple[int, int, int | None, bool]
 
 
-def _ir_stage_kernel(*refs, S: int, M: int, m_pad: int, blocks: Sequence[BlockSpec]):
-    x_ref = refs[0]
-    out_ref = refs[-1]
-    wrefs = list(refs[1:-1])
+def _ir_stage_kernel(
+    *refs,
+    S: int,
+    M: int,
+    m_pad: int,
+    blocks: Sequence[BlockSpec],
+    dw_input_bf16: bool = False,
+    c_exp_split: int = 1,
+):
+    if c_exp_split > 1:
+        # trailing scratch refs (h + partial-y + dw accumulator) force
+        # serial buffer reuse: with pure values Mosaic's scheduler hoists
+        # independent work and keeps every intermediate live on the
+        # scoped-vmem stack — splitting 2x/4x INCREASED the stack from
+        # 19.7M to 22.9M at S=63, and even with h/y scratched the 9
+        # unrolled depthwise shifted copies alone hold ~13M. Routing the
+        # tap accumulation through acc_scr caps live shifted copies at one.
+        x_ref, *wrefs, out_ref, h_scr, y_scr, acc_scr = refs
+    else:
+        x_ref, *wrefs, out_ref = refs
+        h_scr = y_scr = acc_scr = None
 
     r = lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
     h_idx = r // S
@@ -66,22 +83,14 @@ def _ir_stage_kernel(*refs, S: int, M: int, m_pad: int, blocks: Sequence[BlockSp
 
     x = x_ref[0]  # (m_pad, c_in0) bf16
     wi = 0
-    for c_in, c_exp, c_out, residual in blocks:
-        we = wrefs[wi][...]; be = wrefs[wi + 1][...]
-        wi += 2
-        h = jnp.dot(x, we, preferred_element_type=jnp.float32) + be
-        h = relu6(h)
-        if c_out is None:  # expand-only tail
-            x = h.astype(jnp.bfloat16)
-            continue
-        kdw = wrefs[wi][...]; bdw = wrefs[wi + 1][...]
-        wp = wrefs[wi + 2][...]; bp = wrefs[wi + 3][...]
-        wi += 4
 
-        # 3x3 stride-1 SAME depthwise: 9 masked sublane-shifted mul-adds.
-        # mask: the sampled (h+dy, w+dx) must be inside the S x S grid, and
-        # the row itself real — padded rows never contribute.
-        acc = jnp.zeros((m_pad, c_exp), jnp.float32)
+    # 3x3 stride-1 SAME depthwise: 9 masked sublane-shifted mul-adds.
+    # mask: the sampled (h+dy, w+dx) must be inside the S x S grid, and
+    # the row itself real — padded rows never contribute.
+    def dw_project(h_part, kdw_part, bdw_part, wp_part):
+        acc = jnp.zeros((m_pad, h_part.shape[1]), jnp.float32)
+        if acc_scr is not None:
+            acc_scr[...] = acc
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 s = dy * S + dx
@@ -90,12 +99,61 @@ def _ir_stage_kernel(*refs, S: int, M: int, m_pad: int, blocks: Sequence[BlockSp
                     & (w_idx + dx >= 0) & (w_idx + dx < S)
                     & row_valid
                 )
-                mf = jnp.where(m, 1.0, 0.0)  # (m_pad, 1)
-                tap = kdw[(dy + 1) * 3 + (dx + 1) : (dy + 1) * 3 + (dx + 2), :]
-                acc = acc + shifted_rows(h, s) * mf * tap
-        h2 = relu6(acc + bdw).astype(jnp.bfloat16)
+                mf = jnp.where(m, 1.0, 0.0).astype(h_part.dtype)
+                tap = kdw_part[(dy + 1) * 3 + (dx + 1) : (dy + 1) * 3 + (dx + 2), :]
+                # product in h's dtype (f32, or bf16 under dw_input_bf16
+                # — the same rounding as a bf16 conv), f32 accumulation
+                term = shifted_rows(h_part, s) * mf * tap.astype(h_part.dtype)
+                if acc_scr is not None:
+                    # ref round-trip serializes the taps (see unpack note)
+                    acc_scr[...] = acc_scr[...] + term
+                else:
+                    acc = acc + term
+        if acc_scr is not None:
+            acc = acc_scr[...]
+        h2 = relu6(acc + bdw_part).astype(jnp.bfloat16)
+        return jnp.dot(h2, wp_part, preferred_element_type=jnp.float32)
 
-        y = jnp.dot(h2, wp, preferred_element_type=jnp.float32) + bp
+    def expand(we, be):
+        hh = relu6(jnp.dot(x, we, preferred_element_type=jnp.float32) + be)
+        return hh.astype(jnp.bfloat16) if dw_input_bf16 else hh
+
+    for c_in, c_exp, c_out, residual in blocks:
+        if c_out is None:  # expand-only tail (never chunked)
+            we = wrefs[wi][...]; be = wrefs[wi + 1][...]
+            wi += 2
+            h = relu6(jnp.dot(x, we, preferred_element_type=jnp.float32) + be)
+            x = h.astype(jnp.bfloat16)
+            continue
+
+        # The expand channels arrive pre-chunked into c_exp_split weight
+        # groups (fused_ir_stage slices them host-side — Mosaic rejects
+        # non-lane-aligned in-kernel weight slices): expand -> depthwise ->
+        # partial projection per chunk through the shared scratch buffers.
+        # Exact for any split (the depthwise is per-channel; the projection
+        # is a sum over channels, f32-accumulated).
+        if c_exp_split == 1:
+            we = wrefs[wi][...]; be = wrefs[wi + 1][...]
+            kdw = wrefs[wi + 2][...]; bdw = wrefs[wi + 3][...]
+            wp = wrefs[wi + 4][...]; bp = wrefs[wi + 5][...]
+            wi += 6
+            y = dw_project(expand(we, be), kdw, bdw, wp) + bp
+        else:
+            # full-ref scratch writes only (Mosaic rejects non-lane-aligned
+            # ref slices); fused_ir_stage asserts uniform (c_exp, c_out)
+            # across chunked blocks so the scratch shapes fit every block
+            y_scr[...] = jnp.zeros((m_pad, c_out), jnp.float32)
+            for _ in range(c_exp_split):
+                we = wrefs[wi][...]; be = wrefs[wi + 1][...]
+                kdw = wrefs[wi + 2][...]; bdw = wrefs[wi + 3][...]
+                wp = wrefs[wi + 4][...]
+                wi += 5
+                h_scr[...] = expand(we, be)
+                y_scr[...] = y_scr[...] + dw_project(
+                    h_scr[...], kdw, bdw, wp
+                )
+            y = y_scr[...] + wrefs[wi][...]  # bp
+            wi += 1
         y = y.astype(jnp.bfloat16)
         if residual:
             y = (x + y).astype(jnp.bfloat16)
@@ -104,12 +162,21 @@ def _ir_stage_kernel(*refs, S: int, M: int, m_pad: int, blocks: Sequence[BlockSp
     out_ref[0] = x
 
 
-@functools.partial(jax.jit, static_argnames=("blocks", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "blocks", "interpret", "dw_input_bf16", "c_exp_split",
+        "vmem_limit_mb",
+    ),
+)
 def fused_ir_stage(
     x: jnp.ndarray,
     weights: Tuple[jnp.ndarray, ...],
     blocks: Tuple[BlockSpec, ...],
     interpret: bool = False,
+    dw_input_bf16: bool = False,
+    c_exp_split: int = 1,
+    vmem_limit_mb: int | None = None,
 ) -> jnp.ndarray:
     """Run ``blocks`` fused over ``x``.
 
@@ -117,6 +184,20 @@ def fused_ir_stage(
       x: (B, S, S, c_in0) bf16 feature map (stride-1 stage input).
       weights: flat tuple from :func:`pack_stage_weights`.
       blocks: static per-block channel spec (see BlockSpec above).
+      dw_input_bf16: carry the expanded activations into the depthwise in
+        bf16 (the flax oracle's inter-conv dtype). Required at larger
+        spatial sizes (S=63: an f32 working set exceeds the 16 MB
+        scoped-vmem limit by ~4 MB); the 32x32 stage keeps the original
+        f32 path by default.
+      c_exp_split: process the expand channels in this many chunks
+        (expand -> depthwise -> partial projection per chunk; exact —
+        the depthwise is per-channel and the projection is a sum over
+        channels, with f32 partial-y accumulation). Divides the peak
+        working set by ~the split for large-S stages.
+      vmem_limit_mb: raise Mosaic's scoped-vmem stack limit (default
+        16 MB) for large-S stages whose unrolled working set exceeds it
+        — v5e has 128 MB of VMEM, so the S=63 stage's ~20-24 MB stack
+        compiles fine with the limit at 64.
 
     Returns (B, S, S, c_last) bf16.
     """
@@ -130,8 +211,48 @@ def fused_ir_stage(
     xr = jnp.zeros((B, m_pad, C0), jnp.bfloat16)
     xr = xr.at[:, :M].set(x.reshape(B, M, C0).astype(jnp.bfloat16))
 
+    # pre-chunk the expand-group weights host-side (Mosaic rejects
+    # non-lane-aligned in-kernel weight slices): per full block the kernel
+    # consumes c_exp_split groups of (we, be, kdw, bdw, wp) plus one bp
+    chunked = []
+    wi = 0
+    for c_in, c_exp, c_out, _res in blocks:
+        we, be = weights[wi], weights[wi + 1]
+        wi += 2
+        if c_out is None:
+            chunked += [we, be]
+            continue
+        kdw, bdw, wp, bp = weights[wi : wi + 4]
+        wi += 4
+        assert c_exp % c_exp_split == 0, (c_exp, c_exp_split)
+        cw = c_exp // c_exp_split
+        for ci in range(c_exp_split):
+            sl = slice(ci * cw, (ci + 1) * cw)
+            chunked += [we[:, sl], be[:, sl], kdw[:, sl], bdw[:, sl], wp[sl, :]]
+        chunked.append(bp)
+    weights = tuple(chunked)
+
+    scratch_shapes = []
+    if c_exp_split > 1:
+        full = [b for b in blocks if b[2] is not None]
+        cws = {ce // c_exp_split for _, ce, _, _ in full}
+        couts = {co for _, _, co, _ in full}
+        assert len(cws) == 1 and len(couts) == 1, (
+            "c_exp_split>1 needs uniform (c_exp, c_out) across full blocks "
+            f"(got c_exp chunks {cws}, c_out {couts}) — the scratch buffers "
+            "are written full-ref"
+        )
+        h_dtype = jnp.bfloat16 if dw_input_bf16 else jnp.float32
+        cw = cws.pop()
+        scratch_shapes = [
+            pltpu.VMEM((m_pad, cw), h_dtype),
+            pltpu.VMEM((m_pad, couts.pop()), jnp.float32),
+            pltpu.VMEM((m_pad, cw), jnp.float32),
+        ]
+
     kernel = functools.partial(
-        _ir_stage_kernel, S=S, M=M, m_pad=m_pad, blocks=blocks
+        _ir_stage_kernel, S=S, M=M, m_pad=m_pad, blocks=blocks,
+        dw_input_bf16=dw_input_bf16, c_exp_split=c_exp_split,
     )
     w_specs = [
         pl.BlockSpec(w.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
@@ -148,6 +269,11 @@ def fused_ir_stage(
         out_specs=pl.BlockSpec((1, m_pad, c_last), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, m_pad, c_last), jnp.bfloat16),
+        scratch_shapes=scratch_shapes,
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
+            if vmem_limit_mb else None
+        ),
         interpret=interpret,
     )(xr, *weights)
     return out[:, :M].reshape(B, S, S, c_last)
