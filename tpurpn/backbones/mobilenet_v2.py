@@ -123,7 +123,7 @@ class MobileNetV2Backbone(nn.Module):
     stop_after_block: int | None = None
     # accept a precomputed Conv1 output (B, ceil(H/2), ceil(W/2), 32),
     # post-activation, instead of raw images: the space-to-depth serving
-    # stem (tpurpn.inference.s2d_conv1) computes Conv1 outside the module
+    # stem (tpurpn.inference.s2d_uint8_stem) computes Conv1 outside the module
     skip_stem: bool = False
 
     @nn.compact

@@ -22,10 +22,12 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 import flax.linen as nn
 
-from .backbones.mobilenet_v2 import MobileNetV2Backbone
+from .backbones.mobilenet_v2 import MobileNetV2Backbone, relu6
 from .config import HyperParams
 from .kernels.ir_stage_pallas import fused_ir_stage, pack_stage_weights
 
@@ -48,6 +50,162 @@ class RPNHeadOnly(nn.Module):
         from .model import apply_rpn_head
 
         return apply_rpn_head(self.hp, feat)
+
+
+def s2d_resize(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """Bilinear-resize ``x`` to (out_size, out_size) and emit the result in
+    2x2 space-to-depth layout — (B, out/2, out/2, 4C) — with NO layout op.
+
+    Each (row-parity p, col-parity q) sub-grid of the resized image is itself
+    a linear resize computed directly by ``jax.image.scale_and_translate``
+    (the same family ``jax.image.resize`` lowers to for method="bilinear":
+    output row i samples input coordinate (i+0.5)*(in/out)-0.5, so rows
+    i=2u+p form a resize with scale out/(2*in) and translation (0.5-p)/2).
+    Channel blocks are ordered [p0q0, p0q1, p1q0, p1q1] * C — the order
+    ``fold_conv1_s2d`` assumes.
+
+    Why this exists (round-3 history, benchmarks/exp_s2d_*.py): folding the
+    stride-2 Conv1 stem into a 2x2/s1 conv over s2d input wins standalone but
+    the reshape/transpose AFTER a normal resize does not fold into the
+    resize's gather and serialized against the backbone (0.80x in context).
+    Emitting s2d straight from the resize removes the layout op entirely.
+
+    Valid only while the FULL resize upsamples (H, W <= out_size): the
+    sub-grids then downsample (scale < 1) and ``antialias=False`` keeps the
+    pure 2-tap bilinear kernel the upsampling full resize uses at these
+    exact sample coordinates. A downsampling full resize would antialias
+    with kernel width 1/scale, which per-sub-grid scale_and_translate
+    cannot express — asserted against.
+    """
+    B, H, W, C = x.shape
+    assert H <= out_size and W <= out_size, (
+        "s2d_resize requires an upsampling full resize", (H, W, out_size))
+    subs = []
+    for p in (0, 1):
+        for q in (0, 1):
+            # scale/translation stay f32: the interpolation weight matrix is
+            # computed in their dtype and only cast to x.dtype afterwards —
+            # exactly what jax.image.resize does. bf16 coordinate math would
+            # drift the sample positions by whole pixels at row ~250.
+            subs.append(jax.image.scale_and_translate(
+                x, (B, out_size // 2, out_size // 2, C), (1, 2),
+                scale=jnp.array(
+                    [out_size / (2 * H), out_size / (2 * W)], jnp.float32
+                ),
+                translation=jnp.array(
+                    [(0.5 - p) / 2.0, (0.5 - q) / 2.0], jnp.float32
+                ),
+                method="linear",
+                antialias=False,
+            ))
+    return jnp.concatenate(subs, axis=-1)
+
+
+def fold_conv1_s2d(conv1_params) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold the 3x3/s2 Conv1 stem into a 2x2/s1 conv over 2x2-s2d input.
+
+    Exact: tap (ky, kx) of input pixel (2i+u, 2j+v) lives at s2d spatial
+    position (i+du, j+dv), channel block u*2+v, where (du,u)=divmod(ky,2)
+    and (dv,v)=divmod(kx,2) — matching ``s2d_resize``'s concat order. The
+    folded conv uses padding ((0,1),(0,1)), reproducing SAME's single
+    trailing zero row/column at even input sizes.
+
+    ``conv1_params``: the folded-BN Conv1 dict {"kernel": (3,3,Cin,Cout),
+    "bias": (Cout,)}. Returns (w4 (2,2,4*Cin,Cout), bias), same dtypes in.
+    Pure jnp (jit-traceable; loop-invariant, so XLA hoists it out of scans).
+    """
+    w = conv1_params["kernel"]
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3), (kh, kw)
+    # pad taps to 4x4 so tap (2*du+u, 2*dv+v) indexes cleanly; taps 3 are
+    # the zero rows/cols (stride-2 SAME never reads them twice)
+    wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    w4 = (
+        wp.reshape(2, 2, 2, 2, cin, cout)     # (du, u, dv, v, cin, cout)
+        .transpose(0, 2, 1, 3, 4, 5)          # (du, dv, u, v, cin, cout)
+        .reshape(2, 2, 4 * cin, cout)         # channel block = u*2+v
+    )
+    return w4, conv1_params["bias"]
+
+
+def s2d_uint8_stem(
+    hp: HyperParams, variables, raw: jnp.ndarray
+) -> jnp.ndarray:
+    """Raw uint8 frames -> Conv1 activations, fusing preprocess and stem.
+
+    Computes exactly data.preprocess_batch (uint8 -> [0,1] bf16, bilinear
+    resize to img_size) followed by the folded-BN Conv1 + ReLU6 — but the
+    resize emits s2d layout directly and Conv1 runs as the folded 2x2/s1
+    conv (``fold_conv1_s2d``), so the stride-2 stem conv XLA emits at an
+    ~1.4 ms batch-independent floor (BASELINE.md config-2 analysis items
+    4-6) is replaced by a cheaper dense formulation with zero layout ops.
+
+    Requires raw H, W <= hp.img_size (the VOC serving case; see s2d_resize).
+    """
+    dtype = jnp.dtype(hp.compute_dtype)
+    w4, b1 = fold_conv1_s2d(variables["params"]["backbone"]["Conv1"])
+    x = raw.astype(dtype) / jnp.asarray(255.0, dtype)
+    x12 = s2d_resize(x, hp.img_size)
+    # same arithmetic as the flax nn.Conv stem: bf16 operands, bf16 output
+    # (MXU accumulates f32 internally), bias added in compute dtype
+    y = lax.conv_general_dilated(
+        x12, w4.astype(dtype), (1, 1), ((0, 1), (0, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b1.astype(dtype)
+    return relu6(y)
+
+
+def fast_uint8_forward(
+    hp: HyperParams,
+    variables,
+    raw: jnp.ndarray,
+    fused_stage: bool = True,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Raw uint8 frames -> (rpn_reg, rpn_cls_logits), the full serving
+    forward with the fused s2d stem (``s2d_uint8_stem``) in place of
+    preprocess_batch + Conv1.
+
+    ``fused_stage=True`` additionally swaps the backbone mid-stage for the
+    fused inverted-residual Pallas kernel (``fast_mobilenet_forward``'s
+    path; TPU only). ``variables`` must be the folded-BN tree.
+    """
+    assert hp.backbone == "mobilenet_v2", hp.backbone
+    params = variables["params"]
+    bb = params["backbone"]
+    feat1 = s2d_uint8_stem(hp, variables, raw)
+
+    rest_params = {k: v for k, v in bb.items() if k != "Conv1"}
+    if fused_stage:
+        prefix = MobileNetV2Backbone(
+            dtype=jnp.dtype(hp.compute_dtype),
+            param_dtype=jnp.dtype(hp.param_dtype),
+            fold_bn=True,
+            skip_stem=True,
+            stop_after_block=6,
+        )
+        prefix_params = {
+            k: rest_params[k] for k in _PREFIX_MODULES if k != "Conv1"
+        }
+        feat6 = prefix.apply({"params": prefix_params}, feat1, train=False)
+        weights, blocks = pack_stage_weights(
+            bb, _FUSED_BLOCKS, tail_expand="block_13_expand"
+        )
+        feat = fused_ir_stage(
+            feat6.astype(jnp.bfloat16), weights, blocks, interpret=interpret
+        )
+    else:
+        rest = MobileNetV2Backbone(
+            dtype=jnp.dtype(hp.compute_dtype),
+            param_dtype=jnp.dtype(hp.param_dtype),
+            fold_bn=True,
+            skip_stem=True,
+        )
+        feat = rest.apply({"params": rest_params}, feat1, train=False)
+
+    head = RPNHeadOnly(hp)
+    head_params = {k: params[k] for k in ("rpn_conv", "rpn_cls", "rpn_reg")}
+    return head.apply({"params": head_params}, feat)
 
 
 def fast_mobilenet_forward(
