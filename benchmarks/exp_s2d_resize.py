@@ -107,10 +107,11 @@ def main(batch=8):
     err12 = float(jnp.abs(
         got12.astype(jnp.float32) - ref12.astype(jnp.float32)
     ).max())
+    # emit() rounds value to 2 decimals — report the exact error in extras
     emit("s2d_resize_vs_resize_slice", err12, "max_abs_err",
-         bitexact=bitexact)
+         bitexact=bitexact, err_exact=err12)
 
-    # parity 2: end pipeline logits
+    # parity 2: end pipeline, BOTH heads (cls logits and reg deltas)
     imgs, _ = preprocess_batch(
         raw_imgs, jnp.zeros((batch, 1, 4)), hp.img_size, dtype=jnp.bfloat16
     )
@@ -118,9 +119,12 @@ def main(batch=8):
     reg_b, cls_b = fast_uint8_forward(
         hp, variables, raw_imgs, fused_stage=False
     )
-    emit("s2d_pipeline_logits_max_abs_err",
-         float(jnp.max(jnp.abs(cls_a - cls_b))), "logits",
-         scale=round(float(jnp.max(jnp.abs(cls_a))), 4))
+    cls_err = float(jnp.max(jnp.abs(cls_a - cls_b)))
+    reg_err = float(jnp.max(jnp.abs(reg_a - reg_b)))
+    emit("s2d_pipeline_max_abs_err", max(cls_err, reg_err), "logits",
+         cls_err=cls_err, reg_err=reg_err,
+         cls_scale=float(jnp.max(jnp.abs(cls_a))),
+         reg_scale=float(jnp.max(jnp.abs(reg_a))))
 
     dt_a = time_scan_chained(step_base, variables, raw_imgs, iters=30)
     emit(f"uint8_e2e_base_b{batch}", batch / dt_a, "img/s")

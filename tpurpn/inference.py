@@ -78,6 +78,10 @@ def s2d_resize(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
     cannot express — asserted against.
     """
     B, H, W, C = x.shape
+    assert out_size % 2 == 0, (
+        "s2d_resize requires an even out_size: the 2x2 factorization (and "
+        "fold_conv1_s2d's ((0,1),(0,1)) pad reproducing SAME) only holds at "
+        "even sizes", out_size)
     assert H <= out_size and W <= out_size, (
         "s2d_resize requires an upsampling full resize", (H, W, out_size))
     subs = []
@@ -171,41 +175,61 @@ def fast_uint8_forward(
     path; TPU only). ``variables`` must be the folded-BN tree.
     """
     assert hp.backbone == "mobilenet_v2", hp.backbone
-    params = variables["params"]
-    bb = params["backbone"]
     feat1 = s2d_uint8_stem(hp, variables, raw)
-
-    rest_params = {k: v for k, v in bb.items() if k != "Conv1"}
     if fused_stage:
-        prefix = MobileNetV2Backbone(
-            dtype=jnp.dtype(hp.compute_dtype),
-            param_dtype=jnp.dtype(hp.param_dtype),
-            fold_bn=True,
-            skip_stem=True,
-            stop_after_block=6,
-        )
-        prefix_params = {
-            k: rest_params[k] for k in _PREFIX_MODULES if k != "Conv1"
-        }
-        feat6 = prefix.apply({"params": prefix_params}, feat1, train=False)
-        weights, blocks = pack_stage_weights(
-            bb, _FUSED_BLOCKS, tail_expand="block_13_expand"
-        )
-        feat = fused_ir_stage(
-            feat6.astype(jnp.bfloat16), weights, blocks, interpret=interpret
-        )
-    else:
-        rest = MobileNetV2Backbone(
-            dtype=jnp.dtype(hp.compute_dtype),
-            param_dtype=jnp.dtype(hp.param_dtype),
-            fold_bn=True,
-            skip_stem=True,
-        )
-        feat = rest.apply({"params": rest_params}, feat1, train=False)
+        return _fused_stage_from(hp, variables, feat1, skip_stem=True,
+                                 interpret=interpret)
 
+    params = variables["params"]
+    rest = MobileNetV2Backbone(
+        dtype=jnp.dtype(hp.compute_dtype),
+        param_dtype=jnp.dtype(hp.param_dtype),
+        fold_bn=True,
+        skip_stem=True,
+    )
+    rest_params = {
+        k: v for k, v in params["backbone"].items() if k != "Conv1"
+    }
+    feat = rest.apply({"params": rest_params}, feat1, train=False)
+    return _apply_head(hp, params, feat)
+
+
+def _apply_head(hp: HyperParams, params, feat):
     head = RPNHeadOnly(hp)
     head_params = {k: params[k] for k in ("rpn_conv", "rpn_cls", "rpn_reg")}
     return head.apply({"params": head_params}, feat)
+
+
+def _fused_stage_from(
+    hp: HyperParams, variables, x: jnp.ndarray, skip_stem: bool,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared fused-mid-stage tail: (images | Conv1 activations) -> logits.
+
+    flax prefix (through block_6) -> fused_ir_stage -> RPN head. Both fast
+    serving paths funnel here so the stage boundary (block_6/7 split,
+    block_13_expand tail) lives in exactly one place.
+    """
+    params = variables["params"]
+    bb = params["backbone"]
+    prefix = MobileNetV2Backbone(
+        dtype=jnp.dtype(hp.compute_dtype),
+        param_dtype=jnp.dtype(hp.param_dtype),
+        fold_bn=True,
+        skip_stem=skip_stem,
+        stop_after_block=6,
+    )
+    prefix_params = {
+        k: bb[k] for k in _PREFIX_MODULES if not (skip_stem and k == "Conv1")
+    }
+    feat6 = prefix.apply({"params": prefix_params}, x, train=False)
+    weights, blocks = pack_stage_weights(
+        bb, _FUSED_BLOCKS, tail_expand="block_13_expand"
+    )
+    feat = fused_ir_stage(
+        feat6.astype(jnp.bfloat16), weights, blocks, interpret=interpret
+    )
+    return _apply_head(hp, params, feat)
 
 
 def fast_mobilenet_forward(
@@ -217,25 +241,5 @@ def fast_mobilenet_forward(
     model.fold_batch_norm) for the mobilenet_v2 backbone.
     """
     assert hp.backbone == "mobilenet_v2", hp.backbone
-    params = variables["params"]
-    bb = params["backbone"]
-
-    prefix = MobileNetV2Backbone(
-        dtype=jnp.dtype(hp.compute_dtype),
-        param_dtype=jnp.dtype(hp.param_dtype),
-        fold_bn=True,
-        stop_after_block=6,
-    )
-    prefix_params = {k: bb[k] for k in _PREFIX_MODULES}
-    feat6 = prefix.apply({"params": prefix_params}, images, train=False)
-
-    weights, blocks = pack_stage_weights(
-        bb, _FUSED_BLOCKS, tail_expand="block_13_expand"
-    )
-    feat = fused_ir_stage(
-        feat6.astype(jnp.bfloat16), weights, blocks, interpret=interpret
-    )
-
-    head = RPNHeadOnly(hp)
-    head_params = {k: params[k] for k in ("rpn_conv", "rpn_cls", "rpn_reg")}
-    return head.apply({"params": head_params}, feat)
+    return _fused_stage_from(hp, variables, images, skip_stem=False,
+                             interpret=interpret)
