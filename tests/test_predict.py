@@ -185,3 +185,43 @@ def test_mesh_predict_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out_a["roi_boxes"]), np.asarray(out_b["roi_boxes"]), atol=1e-6
     )
+
+
+def test_from_uint8_predict_matches_manual_preprocess():
+    """make_predict_fn(from_uint8=True) == preprocess_batch then predict.
+
+    The uint8 serving entry point folds on-device preprocessing into the
+    compiled program (BASELINE config 2's e2e path); its proposals must be
+    identical to preprocessing manually and calling the plain predict fn.
+    """
+    from tpurpn.data import SyntheticVOC, preprocess_batch
+    from tpurpn.model import get_model, init_model
+
+    hp = get_hyper_params("mobilenet_v2", img_size=128,
+                          compute_dtype="float32")
+    model = get_model(hp)
+    variables = init_model(model, jax.random.key(0))
+    raw, _, _ = next(
+        SyntheticVOC(num_samples=4, raw_h=96, raw_w=120).batches(4)
+    )
+    raw = jnp.asarray(raw)
+
+    plain = make_predict_fn(model, hp, topn=50)
+    imgs, _ = preprocess_batch(
+        raw, jnp.zeros((4, 1, 4)), hp.img_size,
+        dtype=jnp.dtype(hp.compute_dtype),
+    )
+    ref = plain(variables, imgs)
+
+    u8 = make_predict_fn(model, hp, topn=50, from_uint8=True)
+    got = u8(variables, raw)
+
+    np.testing.assert_array_equal(
+        np.asarray(ref["num_valid"]), np.asarray(got["num_valid"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["roi_boxes"]), np.asarray(got["roi_boxes"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["roi_scores"]), np.asarray(got["roi_scores"]), atol=1e-6
+    )

@@ -211,7 +211,7 @@ def generate_proposals_planes(
 
 
 def make_predict_fn(model, hp: HyperParams, topn: int | None = None, mesh=None,
-                    fast: bool = False):
+                    fast: bool = False, from_uint8: bool = False):
     """Build the full jitted inference step: images -> proposals.
 
     Mirrors the reference predictor's per-batch flow
@@ -229,6 +229,14 @@ def make_predict_fn(model, hp: HyperParams, topn: int | None = None, mesh=None,
     mid-stage for the fused inverted-residual Pallas kernel
     (tpurpn.inference) — the small-batch serving optimization; outputs agree
     with the flax forward at bf16 tolerance (tests/test_ir_stage.py).
+
+    ``from_uint8=True`` accepts raw uint8 frames instead of preprocessed
+    images: on-device uint8 -> [0,1] bf16 + bilinear resize to
+    ``hp.img_size`` happens inside the compiled program (the serving e2e
+    path, BASELINE config 2). Combined with ``fast=True`` on upsampled
+    even-size inputs, the resize emits space-to-depth layout directly and
+    Conv1 runs folded (tpurpn.inference.s2d_uint8_stem; parity in
+    tests/test_inference_s2d.py).
     """
     anchors = generate_anchors(hp)
     out_topn = hp.test_nms_topn if topn is None else topn
@@ -238,15 +246,28 @@ def make_predict_fn(model, hp: HyperParams, topn: int | None = None, mesh=None,
             model.module, "fold_bn", False
         ), "fast=True requires the folded-BN mobilenet_v2 model"
 
-    def predict_fn(variables, images):
+    def forward(variables, images):
+        if from_uint8:
+            raw = images
+            if fast and raw.shape[1] <= hp.img_size \
+                    and raw.shape[2] <= hp.img_size and hp.img_size % 2 == 0:
+                from .inference import fast_uint8_forward
+
+                return fast_uint8_forward(hp, variables, raw)
+            from .data import preprocess_batch
+
+            images, _ = preprocess_batch(
+                raw, jnp.zeros((raw.shape[0], 1, 4), jnp.float32),
+                hp.img_size, dtype=jnp.dtype(hp.compute_dtype),
+            )
         if fast:
             from .inference import fast_mobilenet_forward
 
-            rpn_reg, rpn_cls_logits = fast_mobilenet_forward(hp, variables, images)
-        else:
-            rpn_reg, rpn_cls_logits = model.module.apply(
-                variables, images, train=False
-            )
+            return fast_mobilenet_forward(hp, variables, images)
+        return model.module.apply(variables, images, train=False)
+
+    def predict_fn(variables, images):
+        rpn_reg, rpn_cls_logits = forward(variables, images)
         if use_planes:
             planes_t, scores = decode_outputs_packed(anchors, rpn_reg, rpn_cls_logits, hp)
             return generate_proposals_packed(planes_t, scores, hp, topn=out_topn)
