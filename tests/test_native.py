@@ -56,14 +56,20 @@ def test_dataset_uses_native_path():
 def test_native_faster_than_python():
     import time
 
+    def best_of(fn, reps=3):
+        # min-of-N: the host has ONE core, so a concurrent background job can
+        # multiply any single wall-time sample; the minimum is contention-free
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     ds = SyntheticVOC(num_samples=64)
     next(ds.batches(64, native=True))  # warm: build + page-fault the buffers
-    t0 = time.perf_counter()
-    next(ds.batches(64, native=True))
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    next(ds.batches(64, native=False))
-    t_py = time.perf_counter() - t0
+    t_native = best_of(lambda: next(ds.batches(64, native=True)))
+    t_py = best_of(lambda: next(ds.batches(64, native=False)))
     assert t_native < t_py, (t_native, t_py)
 
 
