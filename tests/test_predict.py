@@ -207,11 +207,21 @@ def test_from_uint8_predict_matches_manual_preprocess():
     raw = jnp.asarray(raw)
 
     plain = make_predict_fn(model, hp, topn=50)
-    imgs, _ = preprocess_batch(
-        raw, jnp.zeros((4, 1, 4)), hp.img_size,
-        dtype=jnp.dtype(hp.compute_dtype),
-    )
-    ref = plain(variables, imgs)
+
+    # one jitted program for the reference too: greedy-NMS selection is
+    # chaotically sensitive to 1-ulp candidate differences (CLAUDE.md), so
+    # the comparison must be between two identically-structured compiled
+    # programs (preprocess fused with predict on BOTH sides), not eager
+    # preprocess vs fused preprocess
+    @jax.jit
+    def manual(variables, raw):
+        imgs, _ = preprocess_batch(
+            raw, jnp.zeros((4, 1, 4)), hp.img_size,
+            dtype=jnp.dtype(hp.compute_dtype),
+        )
+        return plain(variables, imgs)
+
+    ref = manual(variables, raw)
 
     u8 = make_predict_fn(model, hp, topn=50, from_uint8=True)
     got = u8(variables, raw)
@@ -225,3 +235,61 @@ def test_from_uint8_predict_matches_manual_preprocess():
     np.testing.assert_allclose(
         np.asarray(ref["roi_scores"]), np.asarray(got["roi_scores"]), atol=1e-6
     )
+
+
+def test_from_uint8_rejects_float_images():
+    """Float input to a from_uint8 predict fn must fail loudly, not be
+    silently renormalized by /255 into near-black frames."""
+    hp = get_hyper_params("mobilenet_v2", img_size=128,
+                          compute_dtype="float32")
+    model = get_model(hp)
+    variables = init_model(model, jax.random.key(0))
+    u8 = make_predict_fn(model, hp, topn=10, from_uint8=True)
+    with pytest.raises(AssertionError, match="uint8"):
+        u8(variables, jnp.zeros((2, 96, 96, 3), jnp.float32))
+
+
+def test_fast_from_uint8_routing_gate(monkeypatch):
+    """fast=True + from_uint8=True routes through the s2d stem exactly when
+    s2d_stem_supported says so, else preprocess + fused-mid-stage forward.
+
+    Drives make_predict_fn's routing (predict.py forward()) with both fast
+    forwards stubbed out, so the gate itself is what's under test — a gate
+    inversion or condition drift would silently drop the s2d stem from
+    config-2 serving while every parity test stayed green.
+    """
+    import tpurpn.inference as inference
+    from tpurpn.model import fold_batch_norm
+
+    hp = get_hyper_params("mobilenet_v2", img_size=128,
+                          compute_dtype="float32")
+    model, variables = fold_batch_norm(
+        hp, init_model(get_model(hp), jax.random.key(0))
+    )
+    fm, a = hp.feature_map_shape, hp.anchor_count
+    calls = []
+
+    def fake_u8(hp_, variables_, raw):
+        calls.append(("s2d_stem", tuple(raw.shape)))
+        b = raw.shape[0]
+        return (jnp.zeros((b, fm, fm, 4 * a)), jnp.zeros((b, fm, fm, a)))
+
+    def fake_fwd(hp_, variables_, images):
+        calls.append(("plain_fast", tuple(images.shape)))
+        b = images.shape[0]
+        return (jnp.zeros((b, fm, fm, 4 * a)), jnp.zeros((b, fm, fm, a)))
+
+    monkeypatch.setattr(inference, "fast_uint8_forward", fake_u8)
+    monkeypatch.setattr(inference, "fast_mobilenet_forward", fake_fwd)
+
+    pred = make_predict_fn(model, hp, topn=10, fast=True, from_uint8=True)
+
+    # raw within img_size: the s2d stem must be selected
+    pred(variables, jnp.zeros((2, 96, 120, 3), jnp.uint8))
+    assert calls == [("s2d_stem", (2, 96, 120, 3))]
+
+    # raw exceeding img_size (downsampling resize): must fall back to
+    # preprocess_batch + the fused-mid-stage forward on resized images
+    calls.clear()
+    pred(variables, jnp.zeros((2, 160, 160, 3), jnp.uint8))
+    assert calls == [("plain_fast", (2, 128, 128, 3))]

@@ -52,6 +52,21 @@ class RPNHeadOnly(nn.Module):
         return apply_rpn_head(self.hp, feat)
 
 
+def s2d_stem_supported(hp: HyperParams, raw_shape) -> bool:
+    """True when the s2d-emitting-resize stem can serve ``raw_shape`` frames.
+
+    The single routing predicate for ``predict.make_predict_fn(fast=True,
+    from_uint8=True)`` — keeps the decision next to the invariants it
+    mirrors (``s2d_resize``'s asserts: even target size, upsampling-only)
+    so the two can't drift.
+    """
+    return (
+        hp.img_size % 2 == 0
+        and raw_shape[1] <= hp.img_size
+        and raw_shape[2] <= hp.img_size
+    )
+
+
 def s2d_resize(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
     """Bilinear-resize ``x`` to (out_size, out_size) and emit the result in
     2x2 space-to-depth layout — (B, out/2, out/2, 4C) — with NO layout op.

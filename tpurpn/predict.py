@@ -249,8 +249,14 @@ def make_predict_fn(model, hp: HyperParams, topn: int | None = None, mesh=None,
     def forward(variables, images):
         if from_uint8:
             raw = images
-            if fast and raw.shape[1] <= hp.img_size \
-                    and raw.shape[2] <= hp.img_size and hp.img_size % 2 == 0:
+            assert raw.dtype == jnp.uint8, (
+                "from_uint8=True expects raw uint8 frames; got dtype "
+                f"{raw.dtype} — already-preprocessed float images would be "
+                "silently renormalized by /255 into near-black frames"
+            )
+            from .inference import s2d_stem_supported
+
+            if fast and s2d_stem_supported(hp, raw.shape):
                 from .inference import fast_uint8_forward
 
                 return fast_uint8_forward(hp, variables, raw)
