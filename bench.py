@@ -95,8 +95,15 @@ def main():
     @jax.jit
     def e2e_u8_many(variables, raw):
         def body(c, _):
+            # the raw input must be carry-dependent too: a loop-invariant
+            # preprocess_batch(raw, ...) is hoisted out of the scan by XLA's
+            # while-loop LICM and the "preprocess included" number would
+            # silently exclude it. c is ~1e-6-scale so the uint8 cast adds 0;
+            # the add fuses into the uint8->bf16 convert (same pattern as
+            # benchmarks/exp_smallbatch.py's prep probe).
             imgs, _ = preprocess_batch(
-                raw, jnp.zeros((BATCH, 1, 4)), hp.img_size, dtype=jnp.bfloat16
+                raw + c.astype(jnp.uint8), jnp.zeros((BATCH, 1, 4)),
+                hp.img_size, dtype=jnp.bfloat16,
             )
             return e2e_step(variables, imgs, c), None
 

@@ -80,7 +80,11 @@ def main(batch=128):
         return out["roi_scores"].mean() * 1e-6
 
     def e2e_preprocess(variables, raw, c):
-        imgs, _ = preprocess_batch(raw, jnp.zeros((batch, 1, 4)), hp.img_size)
+        # raw nudged by the carry: a loop-invariant preprocess would be
+        # LICM-hoisted out of the timing scan (c ~1e-6 -> uint8 adds 0)
+        imgs, _ = preprocess_batch(
+            raw + c.astype(jnp.uint8), jnp.zeros((batch, 1, 4)), hp.img_size
+        )
         return e2e(variables, imgs.astype(jnp.bfloat16), c)
 
     iters = 30

@@ -35,13 +35,16 @@ def main():
     raw_imgs = jnp.asarray(raw_imgs)
 
     def step(variables, raw, carry):
-        # on-device preprocessing included: uint8 -> bf16 [0,1] resize 500x500
+        # on-device preprocessing included: uint8 -> bf16 [0,1] resize 500x500.
+        # The carry nudge goes on raw BEFORE the preprocess: nudging imgs
+        # after it leaves preprocess_batch loop-invariant and XLA's while-loop
+        # LICM hoists it out of the scan — the "preprocess included" number
+        # would silently exclude it (carry ~1e-6 -> uint8 cast adds 0).
         imgs, _ = preprocess_batch(
-            raw, jnp.zeros((BATCH, 1, 4)), hp.img_size, dtype=jnp.bfloat16
+            raw + carry.astype(jnp.uint8), jnp.zeros((BATCH, 1, 4)),
+            hp.img_size, dtype=jnp.bfloat16,
         )
-        reg, cls = model.module.apply(
-            variables, imgs + carry.astype(jnp.bfloat16), train=False
-        )
+        reg, cls = model.module.apply(variables, imgs, train=False)
         planes_t, s = decode_outputs_packed(anchors, reg, cls, hp)
         out = generate_proposals_packed(planes_t, s, hp, topn=hp.test_nms_topn)
         return out["roi_scores"].mean() * 1e-6

@@ -39,18 +39,16 @@ def main(batch=8):
     anchors = generate_anchors(hp)
     bb = variables["params"]["backbone"]
 
-    # fold Conv1 (3,3,3,32) into the s2d 2x2-over-12 kernel (exact; see
-    # exp_s2d_conv1.py for the tap mapping: SAME(0,1), row = 2i+ky)
-    w = np.asarray(bb["Conv1"]["kernel"], np.float32)
-    b1 = jnp.asarray(bb["Conv1"]["bias"], jnp.float32)
-    w4 = np.zeros((2, 2, 12, 32), np.float32)
-    for ky in range(3):
-        du, u = divmod(ky, 2)
-        for kx in range(3):
-            dv, v = divmod(kx, 2)
-            for c in range(3):
-                w4[du, dv, (u * 2 + v) * 3 + c, :] = w[ky, kx, c, :]
-    w4 = jnp.asarray(w4, jnp.bfloat16)
+    # fold Conv1 (3,3,3,32) into the s2d 2x2-over-12 kernel via the SHIPPING
+    # fold (tpurpn.inference.fold_conv1_s2d) so this probe stays pinned to
+    # the code config-2 serving actually runs
+    from tpurpn.inference import fold_conv1_s2d
+
+    w4, b1 = fold_conv1_s2d({
+        "kernel": jnp.asarray(bb["Conv1"]["kernel"], jnp.float32),
+        "bias": jnp.asarray(bb["Conv1"]["bias"], jnp.float32),
+    })
+    w4 = w4.astype(jnp.bfloat16)
 
     rest = MobileNetV2Backbone(
         dtype=jnp.bfloat16, param_dtype=jnp.float32, fold_bn=True,
@@ -74,22 +72,24 @@ def main(batch=8):
         out = generate_proposals_packed(planes_t, s, hp, topn=hp.test_nms_topn)
         return out["roi_scores"].mean() * 1e-6
 
+    # raw nudged by the carry BEFORE the preprocess: a loop-invariant resize
+    # is LICM-hoisted out of the timing scan (carry ~1e-6 -> uint8 adds 0)
     def step_base(raw, carry):
         imgs, _ = preprocess_batch(
-            raw, jnp.zeros((batch, 1, 4)), hp.img_size, dtype=jnp.bfloat16
+            raw + carry.astype(jnp.uint8), jnp.zeros((batch, 1, 4)),
+            hp.img_size, dtype=jnp.bfloat16,
         )
-        reg_cls = model.module.apply(
-            variables, imgs + carry.astype(jnp.bfloat16), train=False
-        )
+        reg_cls = model.module.apply(variables, imgs, train=False)
         planes_t, s = decode_outputs_packed(anchors, *reg_cls, hp)
         out = generate_proposals_packed(planes_t, s, hp, topn=hp.test_nms_topn)
         return out["roi_scores"].mean() * 1e-6
 
     def step_s2d(raw, carry):
         imgs, _ = preprocess_batch(
-            raw, jnp.zeros((batch, 1, 4)), hp.img_size, dtype=jnp.bfloat16
+            raw + carry.astype(jnp.uint8), jnp.zeros((batch, 1, 4)),
+            hp.img_size, dtype=jnp.bfloat16,
         )
-        x12 = s2d(imgs + carry.astype(jnp.bfloat16))
+        x12 = s2d(imgs)
         y = lax.conv_general_dilated(
             x12, w4, (1, 1), ((0, 1), (0, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -60,9 +60,14 @@ def main(batch=8):
         out = generate_proposals_packed(planes_t, s, hp, topn=hp.test_nms_topn)
         return out["roi_scores"].mean() * 1e-6
 
+    # every step nudges raw with the carry BEFORE the preprocess/stem:
+    # a loop-invariant resize is hoisted out of the scan by XLA's while-loop
+    # LICM, silently excluding exactly the cost this experiment compares
+    # (carry ~1e-6 -> uint8 cast adds 0; fuses into the convert)
     def step_base(variables, raw, carry):
         imgs, _ = preprocess_batch(
-            raw, jnp.zeros((batch, 1, 4)), hp.img_size, dtype=jnp.bfloat16
+            raw + carry.astype(jnp.uint8), jnp.zeros((batch, 1, 4)),
+            hp.img_size, dtype=jnp.bfloat16,
         )
         reg, cls = model.module.apply(
             perturb_variables(variables, carry), imgs, train=False
@@ -71,7 +76,8 @@ def main(batch=8):
 
     def step_base_fused(variables, raw, carry):
         imgs, _ = preprocess_batch(
-            raw, jnp.zeros((batch, 1, 4)), hp.img_size, dtype=jnp.bfloat16
+            raw + carry.astype(jnp.uint8), jnp.zeros((batch, 1, 4)),
+            hp.img_size, dtype=jnp.bfloat16,
         )
         reg, cls = fast_mobilenet_forward(
             hp, perturb_variables(variables, carry), imgs
@@ -80,13 +86,15 @@ def main(batch=8):
 
     def step_s2d(variables, raw, carry):
         reg, cls = fast_uint8_forward(
-            hp, perturb_variables(variables, carry), raw, fused_stage=False
+            hp, perturb_variables(variables, carry),
+            raw + carry.astype(jnp.uint8), fused_stage=False
         )
         return tail(reg, cls)
 
     def step_s2d_fused(variables, raw, carry):
         reg, cls = fast_uint8_forward(
-            hp, perturb_variables(variables, carry), raw, fused_stage=True
+            hp, perturb_variables(variables, carry),
+            raw + carry.astype(jnp.uint8), fused_stage=True
         )
         return tail(reg, cls)
 

@@ -260,12 +260,27 @@ def test_fast_from_uint8_routing_gate(monkeypatch):
     """
     import tpurpn.inference as inference
     from tpurpn.model import fold_batch_norm
+    from tpurpn.train import make_data_mesh
 
     hp = get_hyper_params("mobilenet_v2", img_size=128,
                           compute_dtype="float32")
     model, variables = fold_batch_norm(
         hp, init_model(get_model(hp), jax.random.key(0))
     )
+
+    # on a non-TPU backend fast=True must fail with a clear message at
+    # build time, not a deep Mosaic lowering error at first call
+    with pytest.raises(AssertionError, match="TPU backend"):
+        make_predict_fn(model, hp, fast=True)
+
+    # both fast forwards are stubbed below, so the TPU-backend guard in
+    # make_predict_fn may be bypassed for this routing-only test
+    monkeypatch.setenv("TPURPN_FAST_ON_CPU", "1")
+
+    # fast=True under a mesh is unsupported (no partitioning rule for the
+    # fused Pallas stage) — must refuse loudly
+    with pytest.raises(AssertionError, match="mesh"):
+        make_predict_fn(model, hp, fast=True, mesh=make_data_mesh(8))
     fm, a = hp.feature_map_shape, hp.anchor_count
     calls = []
 

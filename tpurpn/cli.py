@@ -121,11 +121,38 @@ def trainer_main(argv=None):
     )
     for epoch in range(args.epochs):
         t0 = time.time()
-        # metrics stay ON DEVICE for the whole epoch: a per-step host sync
-        # costs a full dispatch round-trip (~25 ms through the axon tunnel —
-        # CLAUDE.md gotchas) and would throttle training to a fraction of the
-        # benched step rate. One stack + one float() per epoch instead.
+        # metrics stay ON DEVICE between syncs: a per-step host sync costs a
+        # full dispatch round-trip (~25 ms through the axon tunnel —
+        # CLAUDE.md gotchas) and would throttle training to a fraction of
+        # the benched step rate. The finite-loss sanitizer (SURVEY.md §5)
+        # still runs every NAN_CHECK_EVERY steps, bounding how long training
+        # can run on NaN-poisoned parameters to that window rather than a
+        # whole epoch, at ~1/NAN_CHECK_EVERY of the per-step sync tax.
+        NAN_CHECK_EVERY = 100
         losses = []
+        step_metrics = []
+        checked = 0
+        all_vals = []
+
+        def check_finite(upto):
+            nonlocal checked
+            if upto == checked:
+                return
+            vals = np.asarray(jnp.stack(losses[checked:upto]))
+            if not np.isfinite(vals).all():
+                bad = checked + int(np.argmax(~np.isfinite(vals)))
+                m = step_metrics[bad]
+                detail = ", ".join(
+                    f"{k}={float(v):.6g}" for k, v in sorted(m.items())
+                )
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {epoch + 1} step "
+                    f"{bad} ({detail}) — check learning rate / data; "
+                    f"training state NOT saved"
+                )
+            all_vals.append(vals)
+            checked = upto
+
         for s in range(steps_per_epoch):
             imgs, boxes, labels = next(it)
             imgs, boxes, labels = jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(labels)
@@ -134,15 +161,11 @@ def trainer_main(argv=None):
             key, sk = jax.random.split(key)
             state, metrics = step_fn(state, imgs, boxes, labels, sk)
             losses.append(metrics["loss"])
-        losses = np.asarray(jnp.stack(losses))  # single device->host sync
-        if not np.isfinite(losses).all():  # SURVEY.md §5 sanitizer row
-            bad = int(np.argmax(~np.isfinite(losses)))
-            raise FloatingPointError(
-                f"non-finite training loss {losses[bad]} at epoch {epoch + 1} "
-                f"step {bad} — check learning rate / data; training state "
-                f"NOT saved"
-            )
-        mean_loss = float(np.mean(losses))
+            step_metrics.append(metrics)
+            if len(losses) - checked >= NAN_CHECK_EVERY:
+                check_finite(len(losses))
+        check_finite(len(losses))
+        mean_loss = float(np.mean(np.concatenate(all_vals)))
         val_loss = validation_loss(state)
         dt = time.time() - t0
         ips = steps_per_epoch * args.batch_size / dt

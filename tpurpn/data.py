@@ -381,7 +381,8 @@ class CocoJson:
     loader feeds it real COCO annotations through the same
     (images u8, boxes, labels) interface as the VOC sources. Boxes come as
     COCO pixel ``[x, y, w, h]`` and are converted to normalized
-    ``[y1, x1, y2, x2]``; ``iscrowd`` annotations are skipped; category ids
+    ``[y1, x1, y2, x2]``; ``iscrowd`` and unknown-category annotations are
+    skipped; category ids
     (non-contiguous in COCO) are remapped to contiguous 1..K with 0 =
     background, matching the label conventions everywhere else.
     """
@@ -409,6 +410,13 @@ class CocoJson:
         for a in coco.get("annotations", []):
             if a.get("iscrowd", 0):
                 continue
+            if a["category_id"] not in self._cat_map:
+                # e.g. a filtered/subset export whose categories list no
+                # longer covers every annotation: mapping it to 0 would
+                # produce a "background" GT row that every labels != -1
+                # validity check still treats as a real object — skip, like
+                # iscrowd
+                continue
             anns_by_img.setdefault(a["image_id"], []).append(a)
         self._anns = anns_by_img
 
@@ -430,7 +438,7 @@ class CocoJson:
         for i, a in enumerate(self._anns.get(info["id"], [])[: self.max_boxes]):
             x, y, bw, bh = a["bbox"]
             boxes[i] = (y / h, x / w, (y + bh) / h, (x + bw) / w)
-            labels[i] = self._cat_map.get(a["category_id"], 0)
+            labels[i] = self._cat_map[a["category_id"]]  # unknown ids skipped
         return np.asarray(img, np.uint8), boxes, labels
 
     batches = SyntheticVOC.batches  # same batching logic

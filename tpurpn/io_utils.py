@@ -297,15 +297,18 @@ def save_keras_h5_weights(path: str, params: Any, batch_stats: Any = None) -> No
         grp = f.create_group("model_weights")
         grp.attrs["backend"] = np.bytes_(b"tensorflow")
         grp.attrs["keras_version"] = np.bytes_(b"2.15.0")
+        # no fixed-width dtype: numpy silently TRUNCATES names longer than
+        # an explicit SNN width, which would corrupt the by-name mapping
+        # without any error; bare np.array sizes to the longest name
         grp.attrs["layer_names"] = np.array(
-            [layer.encode() for layer in layers], dtype="S64"
+            [layer.encode() for layer in layers]
         )
         for layer, weights in layers.items():
             g = grp.create_group(layer)
             inner = g.create_group(layer)
             names = sorted(weights, key=_WEIGHT_ORDER.index)
             g.attrs["weight_names"] = np.array(
-                [f"{layer}/{n}:0".encode() for n in names], dtype="S96"
+                [f"{layer}/{n}:0".encode() for n in names]
             )
             for n in names:
                 inner.create_dataset(f"{n}:0", data=weights[n])

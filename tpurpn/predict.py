@@ -14,6 +14,7 @@ equivalent of TF's ragged NMS output (SURVEY.md §7 "Dynamic shapes").
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -245,6 +246,20 @@ def make_predict_fn(model, hp: HyperParams, topn: int | None = None, mesh=None,
         assert hp.backbone == "mobilenet_v2" and getattr(
             model.module, "fold_bn", False
         ), "fast=True requires the folded-BN mobilenet_v2 model"
+        # fail with a clear message instead of a deep Mosaic lowering error:
+        # the fused IR-stage kernel compiles on TPU only (tests stubbing the
+        # fast forwards set TPURPN_FAST_ON_CPU=1)
+        assert jax.default_backend() == "tpu" or os.environ.get(
+            "TPURPN_FAST_ON_CPU"
+        ), ("fast=True runs the fused Pallas serving stage, which requires "
+            f"a TPU backend (current: {jax.default_backend()!r}); use "
+            "fast=False here")
+        assert mesh is None, (
+            "fast=True is the single-device small-batch serving path; the "
+            "fused Pallas stage has no partitioning rule under a mesh — "
+            "use fast=False with mesh, or shard batches across separate "
+            "single-device predict fns"
+        )
 
     def forward(variables, images):
         if from_uint8:
