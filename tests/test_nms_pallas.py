@@ -53,6 +53,19 @@ def test_pallas_early_exit_heavy_overlap(rng):
     np.testing.assert_array_equal(ref, np.asarray(got))
 
 
+def test_pallas_keep_block_not_dividing_chunk(rng):
+    """block=384 (documented-valid: multiple of 128) must work — the kernel
+    rounds the internal chunk up to a block multiple instead of asserting."""
+    bs, ss = sorted_boxes(rng, 2, 768)
+    valid = jnp.ones((2, 768), bool)
+    # same block for the twin: the early-exit overshoot inside the final
+    # processed block is a function of the block size
+    ref = np.asarray(_nms_keep_sorted_batched(bs, valid, 0.7, 384, 80))
+    got, cnt = nms_pallas_keep(bs, valid, 0.7, 80, block=384, interpret=True)
+    np.testing.assert_array_equal(ref, np.asarray(got))
+    np.testing.assert_array_equal(ref.sum(-1), np.asarray(cnt))
+
+
 def test_batched_nms_pallas_flag_matches_xla(rng):
     # full public API with use_pallas=True (interpreted via CPU lowering is
     # not available -> only check the flag plumbs through on CPU by forcing

@@ -31,9 +31,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from ._util import round_up as _round_up
 
 
 # Static description of one fused block:

@@ -33,9 +33,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from ._util import round_up as _round_up
 
 
 def _nms_kernel(
@@ -68,9 +66,12 @@ def _nms_kernel(
 
         # ---- cross suppression: block vs all previously-kept boxes --------
         # Only the processed prefix [0, start) can hold kept boxes, so sweep
-        # it in lane chunks with a dynamic trip count instead of all n_pad
-        # lanes — O(prefix) per block, O(processed^2 / 2) total.
-        num_chunks = lax.div(start + block + (chunk - 1), chunk)
+        # ceil(start/chunk) lane chunks with a dynamic trip count instead of
+        # all n_pad lanes — O(prefix) per block, O(processed^2 / 2) total.
+        # (A chunk may extend past start; those lanes read a still-zero keep
+        # row — the zero-init of out_ref above is what makes that safe.)
+        # The first block sweeps zero chunks: nothing is kept before it.
+        num_chunks = lax.div(start + (chunk - 1), chunk)
         supp_scr[...] = jnp.zeros((block, 1), jnp.float32)
 
         def chunk_body(c):
@@ -160,7 +161,11 @@ def nms_pallas_keep_planes(
     skip a (B, n, 4) round-trip entirely.
     """
     B, _, n = box_planes.shape
-    assert chunk % block == 0, "chunk must be a multiple of block"
+    assert block % 128 == 0, "block must be a multiple of 128 (TPU lanes)"
+    # the kernel requires chunk % block == 0; round the requested chunk up
+    # rather than reject documented-valid blocks (e.g. block=384 with the
+    # default chunk=1024 -> chunk=1152)
+    chunk = _round_up(chunk, block)
     n_pad = _round_up(max(n, block), chunk)
     if n_pad > n:
         box_planes = jnp.pad(box_planes, ((0, 0), (0, 0), (0, n_pad - n)))

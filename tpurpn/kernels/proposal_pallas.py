@@ -39,10 +39,14 @@ in the group needs boxes and blocks remain:
      rank-one-hot VPU mask-reduce (ranks from a lower-triangular cumsum
      matvec). Images already at max_output keeps contribute dead lanes only.
 
-Selection semantics are bit-identical to the jnp twin
-(``tpurpn.predict.generate_proposals_planes``) and therefore to the TF
+Selection semantics are bit-identical to the pure-jnp twin — the
+``tpurpn.predict.generate_proposals`` pipeline with ``use_pallas=False``
+(top-k + ``tpurpn.boxes._nms_keep_sorted_batched``), what
+tests/test_proposal_pallas.py A/Bs against — and therefore to the TF
 reference pipeline: ``lax.top_k`` breaks score ties by lower index exactly
 like the stable descending sort it replaces.
+(``tpurpn.predict.generate_proposals_planes`` is this kernel's own
+wrapper, not the oracle.)
 """
 
 from __future__ import annotations
@@ -56,9 +60,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from ._util import round_up as _round_up
 
 
 def _proposal_kernel(
@@ -83,7 +85,9 @@ def _proposal_kernel(
 ):
     num_blocks = pre_pad // block
 
-    out_ref[...] = jnp.zeros_like(out_ref)
+    # kept_scr's zero-init is load-bearing (the rank scatter writes occupied
+    # slots only); out_ref needs none — the final emit loop overwrites every
+    # row and lane unconditionally
     kept_scr[...] = jnp.zeros((group * 8, buf), jnp.float32)
 
     # strictly-lower-triangular (j < i) mask: rank cumsum + greedy matvec

@@ -32,28 +32,31 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._util import round_up as _round_up
+
 from ..target import _lane_bits_for
 
 _BIG = 2**30  # plain int: a jnp constant would be captured as a traced value
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _matching_kernel(
-    anchor_planes_ref,  # (8, n_pad) f32: y1,x1,y2,x2,valid,0,0,0 (shared)
+def _iou_matching_phase(
+    anchor_planes_ref,  # (8, n_pad) f32: y1,x1,y2,x2,... (shared)
     gt_planes_ref,  # (1, 8, m_pad) f32: y1,x1,y2,x2 rows per image
-    merged_ref,  # (1, 1, n_pad) f32 out
-    best_gt_ref,  # (1, 1, n_pad) i32 out
-    col_arg_ref,  # (1, 1, m_pad) i32 out
     col_max_scr,  # (m_pad, 1) f32 scratch
     col_arg_scr,  # (m_pad, 1) i32 scratch
+    write_merged,  # (start, (1, tile) f32) -> None: per-anchor best IoU
+    write_best_gt,  # (start, (1, tile) i32) -> None: per-anchor argmax GT
     *,
     n_pad: int,
     m_pad: int,
     tile: int,
 ):
+    """The fused IoU + matching reduction shared by BOTH kernels — ONE
+    implementation so a future change to the reduction (tie-break, epsilon)
+    cannot desynchronize fused_iou_matching from fused_rpn_targets' phase 1
+    and silently break their bit-parity contract. Leaves the per-GT best
+    anchor in col_arg_scr; per-anchor rows go through the writer callbacks
+    (the two kernels store them in differently-shaped refs/scratch)."""
     num_tiles = n_pad // tile
 
     # gt coordinates as columns (m_pad, 1)
@@ -88,8 +91,8 @@ def _matching_kernel(
         first_max_gt = jnp.min(
             jnp.where(iou == merged, gt_ids, _BIG), axis=0, keepdims=True
         )
-        merged_ref[0, 0:1, pl.ds(start, tile)] = merged
-        best_gt_ref[0, 0:1, pl.ds(start, tile)] = first_max_gt
+        write_merged(start, merged)
+        write_best_gt(start, first_max_gt)
 
         # per-gt running max over anchors (lanes)
         tile_max = jnp.max(iou, axis=1, keepdims=True)  # (m_pad, 1)
@@ -104,6 +107,31 @@ def _matching_kernel(
         return 0
 
     lax.fori_loop(0, num_tiles, body, 0)
+
+
+def _matching_kernel(
+    anchor_planes_ref,  # (8, n_pad) f32: y1,x1,y2,x2,valid,0,0,0 (shared)
+    gt_planes_ref,  # (1, 8, m_pad) f32: y1,x1,y2,x2 rows per image
+    merged_ref,  # (1, 1, n_pad) f32 out
+    best_gt_ref,  # (1, 1, n_pad) i32 out
+    col_arg_ref,  # (1, 1, m_pad) i32 out
+    col_max_scr,  # (m_pad, 1) f32 scratch
+    col_arg_scr,  # (m_pad, 1) i32 scratch
+    *,
+    n_pad: int,
+    m_pad: int,
+    tile: int,
+):
+    def write_merged(start, merged):
+        merged_ref[0, 0:1, pl.ds(start, tile)] = merged
+
+    def write_best_gt(start, first_max_gt):
+        best_gt_ref[0, 0:1, pl.ds(start, tile)] = first_max_gt
+
+    _iou_matching_phase(
+        anchor_planes_ref, gt_planes_ref, col_max_scr, col_arg_scr,
+        write_merged, write_best_gt, n_pad=n_pad, m_pad=m_pad, tile=tile,
+    )
     col_arg_ref[0, 0:1, :] = jnp.transpose(col_arg_scr[...])
 
 
@@ -168,57 +196,26 @@ def _targets_kernel(
     """North-star target kernel (BASELINE.json:5): IoU matrix + matching +
     balanced pos/neg sampling + delta encode, fused — nothing but the dense
     per-anchor outputs leaves the kernel."""
-    num_tiles = n_pad // tile
+    # ---- phase 1: fused IoU + matching reductions (shared implementation
+    # with _matching_kernel, results kept in VMEM scratch) --------------------
+    def write_merged(start, merged):
+        merged_scr[0:1, pl.ds(start, tile)] = merged
 
-    # ---- phase 1: fused IoU + matching reductions (same as _matching_kernel,
-    # results kept in VMEM scratch) ------------------------------------------
-    g_y1 = jnp.transpose(gt_planes_ref[0, 0:1, :])  # (m_pad, 1)
+    def write_best_gt(start, first_max_gt):
+        best_gt_scr[0:1, pl.ds(start, tile)] = first_max_gt
+
+    _iou_matching_phase(
+        anchor_planes_ref, gt_planes_ref, col_max_scr, col_arg_scr,
+        write_merged, write_best_gt, n_pad=n_pad, m_pad=m_pad, tile=tile,
+    )
+
+    # ---- phase 2: balanced sampling + delta encode, whole-row ---------------
+    # gt coordinates as columns (m_pad, 1), same reads phase 1 does
+    g_y1 = jnp.transpose(gt_planes_ref[0, 0:1, :])
     g_x1 = jnp.transpose(gt_planes_ref[0, 1:2, :])
     g_y2 = jnp.transpose(gt_planes_ref[0, 2:3, :])
     g_x2 = jnp.transpose(gt_planes_ref[0, 3:4, :])
-    g_area = jnp.maximum(g_y2 - g_y1, 0.0) * jnp.maximum(g_x2 - g_x1, 0.0)
 
-    col_max_scr[...] = jnp.full((m_pad, 1), -1.0, jnp.float32)
-    col_arg_scr[...] = jnp.zeros((m_pad, 1), jnp.int32)
-
-    gt_ids = lax.broadcasted_iota(jnp.int32, (m_pad, tile), 0)
-    lane_ids = lax.broadcasted_iota(jnp.int32, (m_pad, tile), 1)
-
-    def body(t, _):
-        start = pl.multiple_of(t * tile, tile)
-        a_y1 = anchor_planes_ref[0:1, pl.ds(start, tile)]
-        a_x1 = anchor_planes_ref[1:2, pl.ds(start, tile)]
-        a_y2 = anchor_planes_ref[2:3, pl.ds(start, tile)]
-        a_x2 = anchor_planes_ref[3:4, pl.ds(start, tile)]
-        a_area = jnp.maximum(a_y2 - a_y1, 0.0) * jnp.maximum(a_x2 - a_x1, 0.0)
-
-        ih = jnp.maximum(jnp.minimum(g_y2, a_y2) - jnp.maximum(g_y1, a_y1), 0.0)
-        iw = jnp.maximum(jnp.minimum(g_x2, a_x2) - jnp.maximum(g_x1, a_x1), 0.0)
-        inter = ih * iw
-        union = jnp.maximum(g_area + a_area - inter, 1e-8)
-        iou = inter / union
-
-        merged = jnp.max(iou, axis=0, keepdims=True)
-        first_max_gt = jnp.min(
-            jnp.where(iou == merged, gt_ids, _BIG), axis=0, keepdims=True
-        )
-        merged_scr[0:1, pl.ds(start, tile)] = merged
-        best_gt_scr[0:1, pl.ds(start, tile)] = first_max_gt
-
-        tile_max = jnp.max(iou, axis=1, keepdims=True)
-        tile_arg = jnp.min(
-            jnp.where(iou == tile_max, lane_ids + start, _BIG),
-            axis=1,
-            keepdims=True,
-        )
-        better = tile_max > col_max_scr[...]
-        col_arg_scr[...] = jnp.where(better, tile_arg, col_arg_scr[...])
-        col_max_scr[...] = jnp.maximum(tile_max, col_max_scr[...])
-        return 0
-
-    lax.fori_loop(0, num_tiles, body, 0)
-
-    # ---- phase 2: balanced sampling + delta encode, whole-row ---------------
     merged = merged_scr[...]  # (1, n_pad)
     best_gt = best_gt_scr[...]  # (1, n_pad)
     lane = lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
