@@ -99,3 +99,17 @@ def test_trainer_nan_guard_fails_loudly(tmp_path):
     )
     assert r.returncode != 0
     assert "non-finite training loss" in r.stderr
+
+
+def test_trainer_rejects_missing_weights(tmp_path):
+    """--weights pointing nowhere must abort loudly, not silently train
+    from random init."""
+    from tpurpn.cli import trainer_main
+
+    with pytest.raises(FileNotFoundError, match="refusing"):
+        trainer_main([
+            "--backbone", "mobilenet_v2", "--img-size", "96",
+            "--weights", str(tmp_path / "nope.ckpt"), "--epochs", "1",
+            "--steps-per-epoch", "1", "--batch-size", "2",
+            "--output-dir", str(tmp_path),
+        ])

@@ -1,6 +1,7 @@
 """Data pipeline tests: synthetic fixture determinism + on-device preprocessing."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -315,3 +316,36 @@ def test_tfds_voc_adapter_with_stub(monkeypatch):
     assert labels[0, 0] == 4  # tfds label 3 -> +1 (0 = background)
     assert labels[0, 1] == -1 and np.all(boxes[0, 1:] == 0)
     assert np.all(labels[1] == -1)  # empty example fully padded
+
+
+def test_voc_directory_validation_split_maps_to_val_txt(tmp_path):
+    """tfds-style 'validation' must open VOCdevkit's val.txt (the file VOC
+    actually ships) — the trainer passes 'validation' for reference parity."""
+    import os
+
+    from tpurpn.data import load_voc_directory
+
+    root = str(tmp_path / "VOC2007")
+    _write_voc_fixture(root, n=2)
+    os.rename(
+        os.path.join(root, "ImageSets", "Main", "train.txt"),
+        os.path.join(root, "ImageSets", "Main", "val.txt"),
+    )
+    ds = load_voc_directory(root, split="validation", max_boxes=4)
+    assert len(ds) == 2
+
+
+def test_prefetcher_propagates_worker_errors():
+    """A data-pipeline error must surface with its traceback, not appear as
+    a bare StopIteration (which reads as exhaustion)."""
+    from tpurpn.data import Prefetcher
+
+    def bad_iter():
+        yield 1
+        raise ValueError("corrupt sample")
+
+    it = Prefetcher(bad_iter(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="pipeline worker failed") as ei:
+        next(it)
+    assert isinstance(ei.value.__cause__, ValueError)

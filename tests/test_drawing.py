@@ -42,3 +42,22 @@ def test_draw_skips_degenerate_boxes():
     boxes = np.zeros((5, 4), np.float32)  # padding rows
     pil = draw_bboxes(img, boxes)
     assert np.asarray(pil).sum() == 0  # nothing drawn
+
+
+def test_draw_labels_one_based_convention():
+    """labels are 1-based (0 = background): label 1 must render the FIRST
+    class name, label len(names) the last (previously IndexError), 0 ->
+    'background'."""
+    from tpurpn.data import VOC_CLASSES
+    from tpurpn.drawing import draw_bboxes_with_labels
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    boxes = np.array(
+        [[0.1, 0.1, 0.4, 0.4], [0.5, 0.5, 0.9, 0.9], [0.2, 0.6, 0.4, 0.9]],
+        np.float32,
+    )
+    # includes the last class id (len(VOC_CLASSES)) and background (0)
+    pil = draw_bboxes_with_labels(
+        img, boxes, [1, len(VOC_CLASSES), 0], class_names=VOC_CLASSES
+    )
+    assert np.asarray(pil).sum() > 0

@@ -109,17 +109,6 @@ def bbox_area(boxes: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def pairwise_iou(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
-    """Dense pairwise IoU: (N, 4) x (M, 4) -> (N, M). Zero-area rows give 0."""
-    y1 = jnp.maximum(boxes_a[:, None, 0], boxes_b[None, :, 0])
-    x1 = jnp.maximum(boxes_a[:, None, 1], boxes_b[None, :, 1])
-    y2 = jnp.minimum(boxes_a[:, None, 2], boxes_b[None, :, 2])
-    x2 = jnp.minimum(boxes_a[:, None, 3], boxes_b[None, :, 3])
-    inter = jnp.maximum(y2 - y1, 0.0) * jnp.maximum(x2 - x1, 0.0)
-    union = bbox_area(boxes_a)[:, None] + bbox_area(boxes_b)[None, :] - inter
-    return inter / jnp.maximum(union, _EPS)
-
-
 def generate_iou_map(bboxes: jnp.ndarray, gt_boxes: jnp.ndarray) -> jnp.ndarray:
     """Batched dense IoU: (..., N, 4) x (..., M, 4) -> (..., N, M).
 

@@ -48,7 +48,15 @@ def trainer_main(argv=None):
     print(f"[tpurpn] hyper_params: {hp}")
 
     train_ds = get_dataset(args.dataset, "train", max_boxes=hp.max_gt_boxes)
-    val_ds = get_dataset(args.dataset, "validation", max_boxes=hp.max_gt_boxes)
+    val_source = args.val_dataset or args.dataset
+    if args.val_dataset is None and args.dataset.endswith(".json"):
+        # a COCO instances file has no split dimension: without a separate
+        # --val-dataset, "val_loss" would silently track training data
+        print("[tpurpn] WARNING: --dataset is a COCO .json and no "
+              "--val-dataset was given; val_loss is measured on the "
+              "TRAINING annotations and best-checkpoint selection is "
+              "not meaningful")
+    val_ds = get_dataset(val_source, "validation", max_boxes=hp.max_gt_boxes)
 
     model = get_model(hp)
     state = create_train_state(
@@ -56,7 +64,22 @@ def trainer_main(argv=None):
         model=model,
     )
     if args.weights:  # resume from a previous checkpoint
-        if os.path.isdir(args.weights):
+        if not os.path.exists(args.weights):
+            raise FileNotFoundError(
+                f"--weights {args.weights!r} does not exist — refusing to "
+                "silently train from random init"
+            )
+        if args.weights.endswith(".h5"):
+            from tpurpn.io_utils import load_keras_h5_weights
+
+            params, stats, missing = load_keras_h5_weights(
+                args.weights, state.params, state.batch_stats
+            )
+            state = state.replace(params=params, batch_stats=stats)
+            print(f"[tpurpn] loaded Keras .h5 weights from {args.weights} "
+                  f"(weights-only resume; {len(missing)} entries not in "
+                  f"file)")
+        elif os.path.isdir(args.weights):
             # full train-state resume (params + BN stats + optimizer + step);
             # falls back to weights-only for pre-round-2 checkpoints
             try:
@@ -71,15 +94,23 @@ def trainer_main(argv=None):
                 )
                 print(f"[tpurpn] resumed full train state from {args.weights} "
                       f"(step {int(state.step)})")
-            except Exception:
+            except Exception as e:
                 like = {"params": state.params, "batch_stats": state.batch_stats}
                 restored = load_checkpoint(args.weights, like)
                 state = state.replace(
                     params=restored["params"],
                     batch_stats=restored.get("batch_stats", state.batch_stats),
                 )
-                print(f"[tpurpn] resumed weights (no optimizer state) from "
-                      f"{args.weights}")
+                # say WHY the full restore failed: silently zeroed momentum /
+                # reset step on a genuinely-full checkpoint would be invisible
+                print(f"[tpurpn] resumed weights ONLY (optimizer state and "
+                      f"step reset) from {args.weights} — full-state restore "
+                      f"failed with {type(e).__name__}: {e}")
+        else:
+            raise ValueError(
+                f"--weights {args.weights!r} is neither a checkpoint "
+                "directory nor a .h5 file"
+            )
 
     mesh = None
     if args.data_parallel:
@@ -109,7 +140,7 @@ def trainer_main(argv=None):
                 state, jnp.asarray(imgs), jnp.asarray(boxes),
                 jnp.asarray(labels), jax.random.key(0),
             )))
-        return float(np.mean(losses)) if losses else float("inf")
+        return float(np.mean(losses)) if losses else None
 
     print(f"[tpurpn] training {args.epochs} epochs x {steps_per_epoch} steps, "
           f"batch {args.batch_size}; logs: {log_path}")
@@ -167,10 +198,24 @@ def trainer_main(argv=None):
         check_finite(len(losses))
         mean_loss = float(np.mean(np.concatenate(all_vals)))
         val_loss = validation_loss(state)
+        # degrade loudly, never silently skip every checkpoint: an empty val
+        # set (batch_size > len(val_ds) with drop_remainder) monitors the
+        # train loss instead, and a non-finite val loss is called out
+        if val_loss is None:
+            print("[tpurpn] WARNING: validation produced no batches "
+                  f"(batch_size {args.batch_size} > val set?) — monitoring "
+                  "the TRAIN loss for best-checkpoint selection")
+            monitored = mean_loss
+        else:
+            if not np.isfinite(val_loss):
+                print(f"[tpurpn] WARNING: non-finite val_loss {val_loss} — "
+                      "no checkpoint will be saved this epoch")
+            monitored = val_loss
         dt = time.time() - t0
         ips = steps_per_epoch * args.batch_size / dt
+        val_str = "n/a" if val_loss is None else f"{val_loss:.4f}"
         print(f"[tpurpn] epoch {epoch + 1}/{args.epochs} loss={mean_loss:.4f} "
-              f"val_loss={val_loss:.4f} ({ips:.1f} img/s)")
+              f"val_loss={val_str} ({ips:.1f} img/s)")
         with open(f"{log_path}/metrics.jsonl", "a") as f:
             import json
 
@@ -179,12 +224,13 @@ def trainer_main(argv=None):
                                 "images_per_sec": ips}) + "\n")
         if writer is not None:
             writer.add_scalar("loss/train", mean_loss, epoch + 1)
-            writer.add_scalar("loss/val", val_loss, epoch + 1)
+            if val_loss is not None:
+                writer.add_scalar("loss/val", val_loss, epoch + 1)
             writer.add_scalar("images_per_sec", ips, epoch + 1)
         # reference parity: ModelCheckpoint(save_best_only=True, monitor val).
         # Full train state (SURVEY.md §5): resume continues the optimizer.
-        if val_loss < best_val:
-            best_val = val_loss
+        if monitored < best_val:
+            best_val = monitored
             save_checkpoint(ckpt_path, {"params": state.params,
                                         "batch_stats": state.batch_stats,
                                         "opt_state": state.opt_state,

@@ -290,8 +290,16 @@ class VOCDirectory:
 def load_voc_directory(
     root: str, split: str = "train", max_boxes: int = 64
 ) -> VOCDirectory:
-    """Open a VOCdevkit-style directory (e.g. .../VOC2007). Raises if absent."""
-    split_file = os.path.join(root, "ImageSets", "Main", split + ".txt")
+    """Open a VOCdevkit-style directory (e.g. .../VOC2007). Raises if absent.
+
+    tfds-style split names (what the trainer passes, reference parity) are
+    translated to the ImageSets files VOCdevkit actually ships:
+    'validation' -> val.txt, 'train+validation' -> trainval.txt.
+    """
+    fname = {"validation": "val", "train+validation": "trainval"}.get(
+        split, split
+    )
+    split_file = os.path.join(root, "ImageSets", "Main", fname + ".txt")
     with open(split_file) as f:
         ids = [line.split()[0] for line in f if line.strip()]
     return VOCDirectory(root=root, split_ids=ids, max_boxes=max_boxes)
@@ -457,11 +465,17 @@ class Prefetcher:
 
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
+        self._error: BaseException | None = None
 
         def worker():
+            # propagate pipeline errors to the consumer: a swallowed
+            # exception here would surface as a bare StopIteration with the
+            # real traceback (corrupt JPEG, malformed XML, ...) lost
             try:
                 for item in iterator:
                     self._q.put(item)
+            except BaseException as e:  # noqa: BLE001 — re-raised in __next__
+                self._error = e
             finally:
                 self._q.put(self._done)
 
@@ -474,6 +488,10 @@ class Prefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            if self._error is not None:
+                raise RuntimeError(
+                    "data pipeline worker failed"
+                ) from self._error
             raise StopIteration
         return item
 

@@ -54,9 +54,17 @@ def draw_bboxes_with_labels(
     for box, lab in zip(np.asarray(bboxes).reshape(-1, 4), labels):
         if lab < 0:
             continue
-        name = (
-            class_names[int(lab)] if class_names is not None else str(int(lab))
-        )
+        # labels are 1-based with 0 = background (data.py: VOC index + 1),
+        # so class_names[lab - 1] is the name; 0 renders as "background"
+        lab = int(lab)
+        if class_names is None:
+            name = str(lab)
+        elif lab == 0:
+            name = "background"
+        elif lab - 1 < len(class_names):
+            name = class_names[lab - 1]
+        else:
+            name = str(lab)
         draw.text((box[1] * w + 2, box[0] * h + 2), name, fill=(255, 255, 0))
     return pil
 

@@ -38,7 +38,15 @@ def handle_args(argv=None) -> argparse.Namespace:
     p.add_argument(
         "--dataset",
         default="synthetic",
-        help="'synthetic' or a path to a VOCdevkit VOC20xx directory",
+        help="'synthetic', a path to a VOCdevkit VOC20xx directory, "
+             "'voc/2007' (tfds), or a COCO instances .json",
+    )
+    p.add_argument(
+        "--val-dataset",
+        default=None,
+        help="separate validation data source (same forms as --dataset); "
+             "required for meaningful best-checkpoint selection with a COCO "
+             ".json --dataset, whose split is implied by the file",
     )
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all visible devices")
@@ -285,8 +293,12 @@ def save_keras_h5_weights(path: str, params: Any, batch_stats: Any = None) -> No
         layer, leaf = key[-2], key[-1]
         if leaf == "bias" and layer in bn_layers:
             name = "beta"
-        elif leaf == "kernel" and arr.ndim == 4 and arr.shape[2] == 1:
-            # flax grouped-conv depthwise (H, W, 1, C) -> Keras (H, W, C, 1)
+        elif leaf == "kernel" and "depthwise" in layer:
+            # flax grouped-conv depthwise (H, W, 1, C) -> Keras (H, W, C, 1).
+            # Classified by the layer NAME (Keras convention: *_depthwise),
+            # not by shape[2] == 1 — an ordinary conv over a single-channel
+            # input has the same shape and must NOT be transposed
+            assert arr.ndim == 4 and arr.shape[2] == 1, (layer, arr.shape)
             name = "depthwise_kernel"
             arr = arr.transpose(0, 1, 3, 2)
         else:

@@ -32,15 +32,23 @@ def _so_path() -> str:
 
 
 def _build() -> str:
-    """Compile the loader unless a binary for this exact source exists."""
+    """Compile the loader unless a binary for this exact source exists.
+
+    Compiles to a per-process temp name and atomically renames into place:
+    two concurrent processes (e.g. parallel pytest runs) both building would
+    otherwise race on the same output path and one could dlopen a partially
+    written ELF.
+    """
     so = _so_path()
     if os.path.exists(so):
         return so
+    tmp = f"{so}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", so,
+        _SRC, "-o", tmp,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, so)  # atomic on POSIX; last writer wins with identical bits
     return so
 
 

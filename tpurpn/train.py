@@ -101,9 +101,6 @@ def make_train_step(
     """
     model = model or get_model(hp)
     anchors = generate_anchors(hp)
-    variances = jnp.asarray(hp.variances, jnp.float32)
-    del variances  # anchors/hp are closed over; deltas normalized in target fn
-
     def step_fn(state: TrainState, images_u8, gt_boxes, gt_labels, key):
         prep_key, target_key = jax.random.split(jax.random.fold_in(key, state.step))
         images, gt_boxes_aug = preprocess_batch(
@@ -114,7 +111,7 @@ def make_train_step(
             anchors, gt_boxes_aug, gt_labels, hp, target_key
         )
 
-        use_bn = bool(jax.tree_util.tree_leaves(state.batch_stats))
+        use_bn = _has_batch_stats(state)
 
         def loss_fn(params):
             variables = {"params": params}
@@ -182,7 +179,7 @@ def make_eval_loss_fn(hp: HyperParams, model: Optional[RPNModel] = None):
             anchors, gt_boxes2, gt_labels, hp, key
         )
         variables = {"params": state.params}
-        if jax.tree_util.tree_leaves(state.batch_stats):
+        if _has_batch_stats(state):
             variables["batch_stats"] = state.batch_stats
         rpn_reg, rpn_cls = model.module.apply(variables, images, train=False)
         return reg_loss(target_deltas, rpn_reg) + rpn_cls_loss(
@@ -207,8 +204,6 @@ def rpn_generator(dataset, anchors, hp: HyperParams, key: jax.Array, *,
     (make_train_step) fuses this work into the jitted step instead, which is
     both faster (no host round-trip) and exercised by all benchmarks.
     """
-    from .data import preprocess_batch  # local import to avoid cycle
-
     targets = jax.jit(functools.partial(calculate_rpn_actual_outputs, hp=hp))
     for raw_imgs, gt_boxes, gt_labels in dataset.batches(batch_size, repeat=True):
         key, k1, k2 = jax.random.split(key, 3)
