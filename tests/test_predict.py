@@ -308,3 +308,35 @@ def test_fast_from_uint8_routing_gate(monkeypatch):
     calls.clear()
     pred(variables, jnp.zeros((2, 160, 160, 3), jnp.uint8))
     assert calls == [("plain_fast", (2, 128, 128, 3))]
+
+
+def test_mesh_from_uint8_matches_single_device():
+    """Sharded raw-frame serving: mesh + from_uint8 must select identically
+    to the single-device from_uint8 path (per-image pipeline, no
+    collectives)."""
+    from tpurpn.train import make_data_mesh, replicate, shard_batch
+
+    assert jax.device_count() >= 8
+    hp = get_hyper_params("mobilenet_v2", img_size=96,
+                          compute_dtype="float32")
+    model = get_model(hp)
+    variables = init_model(model, jax.random.key(0))
+    raw = jnp.asarray(
+        (np.random.default_rng(7).integers(0, 255, (8, 80, 72, 3)))
+        .astype(np.uint8)
+    )
+
+    single = make_predict_fn(model, hp, topn=20, from_uint8=True)
+    out_a = single(variables, raw)
+
+    mesh = make_data_mesh(8)
+    sharded = make_predict_fn(model, hp, topn=20, mesh=mesh, from_uint8=True)
+    out_b = sharded(replicate(mesh, variables), shard_batch(mesh, raw))
+
+    np.testing.assert_array_equal(
+        np.asarray(out_a["num_valid"]), np.asarray(out_b["num_valid"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_a["roi_boxes"]), np.asarray(out_b["roi_boxes"]),
+        atol=1e-6,
+    )
