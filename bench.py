@@ -16,18 +16,20 @@ Prints exactly ONE JSON line.
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Persistent compile cache: remote TPU compiles of while-loop-heavy programs
-# are slow (~minutes cold); cached reruns are instant.
-os.makedirs(os.path.expanduser("~/.cache/jax_compilation"), exist_ok=True)
-jax.config.update(
-    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compilation")
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# are slow (~minutes cold); cached reruns are instant. ONE implementation
+# (benchmarks/common.py) so the cache location/threshold cannot drift
+# between the headline bench and the config scripts.
+from benchmarks.common import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 BATCH = 128
 K = 50  # chained steps per timing call
@@ -49,9 +51,6 @@ def main():
 
     # keep every scan iteration data-dependent (so XLA can't hoist the
     # loop-invariant body): shared helper, see benchmarks/common.py
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from benchmarks.common import perturb_variables as perturb
 
     def e2e_step(variables, images, carry):

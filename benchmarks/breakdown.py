@@ -11,7 +11,8 @@ import sys
 
 sys.path.insert(0, ".")
 
-from benchmarks.common import emit, enable_compile_cache, time_scan_chained
+from benchmarks.common import (emit, enable_compile_cache, perturb_variables,
+                               time_scan_chained)
 
 
 def main(batch=128):
@@ -32,6 +33,25 @@ def main(batch=128):
     model, variables = fold_batch_norm(hp, init_model(get_model(hp), jax.random.key(0)))
     anchors = generate_anchors(hp)
 
+    # decompose the program the published numbers actually run: bench.py's
+    # headline (batch >= 64) uses the fused inverted-residual mid-stage
+    # (fast_mobilenet_forward, +4.7%); config2's batch-8 path is the plain
+    # flax forward. Carry-dependence via perturb_variables (ONE bias nudge)
+    # — an `images + c` nudge promotes the whole bf16 image tensor to f32
+    # and pays a full-tensor pass every scan step (CLAUDE.md gotcha).
+    if batch >= 64:
+        from tpurpn.inference import fast_mobilenet_forward
+
+        def forward(variables, images, c):
+            return fast_mobilenet_forward(
+                hp, perturb_variables(variables, c), images
+            )
+    else:
+        def forward(variables, images, c):
+            return model.module.apply(
+                perturb_variables(variables, c), images, train=False
+            )
+
     images = jax.random.uniform(
         jax.random.key(1), (batch, hp.img_size, hp.img_size, 3), jnp.float32
     ).astype(jnp.bfloat16)
@@ -40,16 +60,16 @@ def main(batch=128):
     ).astype(jnp.uint8)
 
     def fwd(variables, images, c):
-        reg, cls = model.module.apply(variables, images + c, train=False)
+        reg, cls = forward(variables, images, c)
         return (reg.astype(jnp.float32).mean() + cls.astype(jnp.float32).mean()) * 1e-6
 
     def fwd_decode(variables, images, c):
-        reg, cls = model.module.apply(variables, images + c, train=False)
+        reg, cls = forward(variables, images, c)
         planes, scores = decode_outputs_planes(anchors, reg, cls, hp)
         return (planes.mean() + scores.mean()) * 1e-6
 
     def fwd_decode_sort(variables, images, c):
-        reg, cls = model.module.apply(variables, images + c, train=False)
+        reg, cls = forward(variables, images, c)
         planes, scores = decode_outputs_planes(anchors, reg, cls, hp)
         sorted_ops = lax.sort(
             (-scores, planes[:, 0], planes[:, 1], planes[:, 2], planes[:, 3]),
@@ -58,7 +78,7 @@ def main(batch=128):
         return (sorted_ops[0].mean() + sorted_ops[2].mean()) * 1e-6
 
     def fwd_decode_sort_nms(variables, images, c):
-        reg, cls = model.module.apply(variables, images + c, train=False)
+        reg, cls = forward(variables, images, c)
         planes, scores = decode_outputs_planes(anchors, reg, cls, hp)
         pre = min(hp.pre_nms_topn, scores.shape[1])
         sorted_ops = lax.sort(
@@ -74,7 +94,7 @@ def main(batch=128):
         return keep.sum().astype(jnp.float32) * 1e-6
 
     def e2e(variables, images, c):
-        reg, cls = model.module.apply(variables, images + c, train=False)
+        reg, cls = forward(variables, images, c)
         planes_t, scores = decode_outputs_packed(anchors, reg, cls, hp)
         out = generate_proposals_packed(planes_t, scores, hp, topn=hp.test_nms_topn)
         return out["roi_scores"].mean() * 1e-6
@@ -82,10 +102,14 @@ def main(batch=128):
     def e2e_preprocess(variables, raw, c):
         # raw nudged by the carry: a loop-invariant preprocess would be
         # LICM-hoisted out of the timing scan (c ~1e-6 -> uint8 adds 0)
+        # dtype=bf16: the shipping pipelines (bench.py, config2) resize in
+        # bf16 (~3x cheaper than f32 at batch 128 — data.py docstring);
+        # timing the f32 path would overstate this component
         imgs, _ = preprocess_batch(
-            raw + c.astype(jnp.uint8), jnp.zeros((batch, 1, 4)), hp.img_size
+            raw + c.astype(jnp.uint8), jnp.zeros((batch, 1, 4)), hp.img_size,
+            dtype=jnp.bfloat16,
         )
-        return e2e(variables, imgs.astype(jnp.bfloat16), c)
+        return e2e(variables, imgs, c)
 
     iters = 30
     rows = [

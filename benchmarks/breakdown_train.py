@@ -55,17 +55,20 @@ def main(batch=8, backbone="vgg16"):
         x, b = preprocess_batch(imgs, boxes, hp.img_size, augment=True, key=k1)
         deltas, lab = calculate_rpn_actual_outputs(anchors, b, labels, hp, k2)
         variables = {"params": state.params}
-        if jax.tree_util.tree_leaves(state.batch_stats):
+        has_bn = bool(jax.tree_util.tree_leaves(state.batch_stats))
+        if has_bn:
             variables["batch_stats"] = state.batch_stats
-        reg, cls = model.module.apply(variables, x, train=False)
+            # train=True like the REAL step: the train step computes batch
+            # statistics (train.py loss_fn), which train=False replaces with
+            # cheaper running-stats application — timing the eval-mode
+            # forward would under-measure this row and over-attribute the
+            # difference to grads+update (moot for the default BN-free vgg16)
+            (reg, cls), _ = model.module.apply(
+                variables, x, train=True, mutable=["batch_stats"]
+            )
+        else:
+            reg, cls = model.module.apply(variables, x, train=False)
         return reg_loss(deltas, reg) + rpn_cls_loss(lab, cls)
-
-    carry_state = [state]
-
-    def full_step(imgs, boxes, labels, c):
-        key = jax.random.fold_in(jax.random.key(0), c.astype(jnp.int32))
-        s, metrics = step(carry_state[0], imgs, boxes, labels, key)
-        return metrics["loss"]
 
     rows = [
         ("preprocess", prep_only),
@@ -79,20 +82,32 @@ def main(batch=8, backbone="vgg16"):
              delta_ms=round((dt - prev) * 1e3, 2), img_per_s=round(batch / dt, 1))
         prev = dt
 
-    # full step (grads + update) — dispatch-chained on the state carry
+    # full step (grads + update) — scan-chained carrying (state, key), the
+    # SAME methodology as the prefix rows, so delta_ms vs fwd_loss is pure
+    # backward+optimizer compute (a dispatch-chained row would attribute
+    # per-dispatch tunnel overhead to this stage). min-of-3 like the helper.
     import time
 
-    s = carry_state[0]
-    key = jax.random.key(1)
-    s, m = step(s, imgs, boxes, labels, key)
-    float(m["loss"])  # compile + warm
     iters = 20
-    t0 = time.perf_counter()
-    for i in range(iters):
-        key, sk = jax.random.split(key)
-        s, m = step(s, imgs, boxes, labels, sk)
-    float(m["loss"])
-    dt = (time.perf_counter() - t0) / iters
+
+    @jax.jit
+    def many(state, imgs, boxes, labels, key):
+        def body(carry, _):
+            s, k = carry
+            k, sk = jax.random.split(k)
+            s, m = step(s, imgs, boxes, labels, sk)
+            return (s, k), m["loss"]
+
+        _, losses = jax.lax.scan(body, (state, key), None, length=iters)
+        return losses[-1]
+
+    key = jax.random.key(1)
+    float(many(state, imgs, boxes, labels, key))  # compile + warm
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(many(state, imgs, boxes, labels, key))
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     emit("train_breakdown_full_step", dt * 1e3, "ms/batch",
          delta_ms=round((dt - prev) * 1e3, 2), img_per_s=round(batch / dt, 1))
 

@@ -1,6 +1,13 @@
 """BASELINE config 4: batched NMS stress — top-2000 -> 300 at batch 32,
 multi-scale anchors. BASELINE.json:10.
 
+Scores here are synthetic uniforms BY SPEC (a stress config over random
+decoded boxes). Per the CLAUDE.md gotcha, greedy-NMS cost depends on the
+score distribution, so these numbers characterize the stress shape, not the
+shipping pipeline — benchmarks/exp_trained_nms.py measures the kernels
+under a TRAINED checkpoint's score distribution, and bench.py's
+trained_ckpt_real_frames_e2e row covers the end-to-end effect.
+
     python benchmarks/config4_nms_stress.py
 """
 
@@ -46,12 +53,14 @@ def main():
     carry = step(boxes, scores, jnp.float32(0.0))
     float(carry)
     iters = 20
-    carry = jnp.float32(0.0)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = step(boxes, scores, carry)
-    float(carry)
-    dt = (time.perf_counter() - t0) / iters
+    dt = float("inf")  # min-of-3: ~5% run-to-run tunnel spread (CLAUDE.md)
+    for _ in range(3):
+        carry = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry = step(boxes, scores, carry)
+        float(carry)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     emit(
         "config4_nms_stress_top2000_to_300_batch32",
         B / dt,
@@ -75,12 +84,14 @@ def main():
 
     carry = step_fused(planes, scores, jnp.float32(0.0))
     float(carry)
-    carry = jnp.float32(0.0)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = step_fused(planes, scores, carry)
-    float(carry)
-    dt = (time.perf_counter() - t0) / iters
+    dt = float("inf")
+    for _ in range(3):
+        carry = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry = step_fused(planes, scores, carry)
+        float(carry)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     emit(
         "config4_nms_stress_fused_kernel_batch32",
         B / dt,

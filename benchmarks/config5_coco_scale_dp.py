@@ -70,11 +70,16 @@ def main():
     # axon-tunnel overhead would otherwise dominate a per-step sync at this
     # batch — benchmarks/common.py docstring)
     iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, *sh, key)
-    float(m["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    # min-of-3 reps (CLAUDE.md ~5% spread); the state carries FORWARD through
+    # all reps — the step donates its input state, so restarting a rep from
+    # a saved state would re-submit donated buffers
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, *sh, key)
+        float(m["loss"])
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     emit(
         "config5_coco_scale_dp_train",
         BATCH / dt,

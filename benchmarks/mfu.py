@@ -3,9 +3,11 @@
 BASELINE config 3/5 claim the fused train step is compute-bound at ~49-53%
 bf16 MFU. This script makes that claim runnable: it pulls the step's FLOP
 count from XLA's own cost analysis of the compiled program (not a hand
-model), times the step with the dispatch-chained methodology
-(benchmarks/common.py — the scan-chained variant can't carry the train
-state), and emits measured TFLOP/s and MFU against the v5e bf16 peak.
+model), times steps chained inside ONE jitted scan carrying the train state
+(config3's methodology — the scan is the clean measurement: dispatch
+chaining paid a per-iteration host key-split + tunnel enqueue inside the
+timed window, systematically deflating measured TFLOP/s), and emits
+measured TFLOP/s and MFU against the v5e bf16 peak.
 
     python benchmarks/mfu.py [batch] [backbone] [img_size]
 """
@@ -46,21 +48,31 @@ def main(batch=32, backbone="vgg16", img_size=500):
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops = float(cost["flops"])
 
-    # timing: chain steps through the state carry across dispatches; the
-    # final scalar pull is the single host sync. The state must be carried
-    # FORWARD through all reps: the step donates its input state, so
-    # restarting a rep from a saved state re-submits donated buffers
-    # (INVALID_ARGUMENT on this backend).
-    state, m = step(state, imgs, boxes, labels, key)
-    float(m["loss"])  # warm
+    # timing: steps chained inside ONE jitted scan carrying (state, key) —
+    # pure device compute, single host sync per rep. The outer jit does NOT
+    # donate, so each rep can restart from the same state (the inner step's
+    # donation annotation is inlined away by jit-in-jit tracing; config3
+    # uses the same pattern). min-of-3 reps per CLAUDE.md.
+    iters = 10
+
+    @jax.jit
+    def many(state, imgs, boxes, labels, key):
+        def body(carry, _):
+            s, k = carry
+            k, sk = jax.random.split(k)
+            s, m = step(s, imgs, boxes, labels, sk)
+            return (s, k), m["loss"]
+
+        _, losses = jax.lax.scan(
+            body, (state, key), None, length=iters
+        )
+        return losses[-1]
+
+    float(many(state, imgs, boxes, labels, key))  # compile + warm
     best = float("inf")
-    iters = 20
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            key, sk = jax.random.split(key)
-            state, m = step(state, imgs, boxes, labels, sk)
-        float(m["loss"])
+        float(many(state, imgs, boxes, labels, key))
         best = min(best, (time.perf_counter() - t0) / iters)
 
     tflops = flops / best / 1e12
