@@ -133,12 +133,15 @@ def test_fast_uint8_forward_matches_plain_pipeline():
     )
     reg_b, cls_b = fast_uint8_forward(hp, variables, raw, fused_stage=False)
     assert reg_b.shape == reg_a.shape and cls_b.shape == cls_a.shape
-    scale = float(jnp.max(jnp.abs(cls_a.astype(jnp.float32))))
-    err = float(jnp.max(jnp.abs(
-        cls_b.astype(jnp.float32) - cls_a.astype(jnp.float32)
-    )))
-    # bf16 path through ~20 conv layers: small relative drift only
-    assert err <= 0.05 * max(scale, 1.0), (err, scale)
+    # BOTH heads get a value oracle: a broken reg branch (wrong weights,
+    # dropped bias) would collapse every served box while cls stayed green
+    for a, b in ((cls_a, cls_b), (reg_a, reg_b)):
+        scale = float(jnp.max(jnp.abs(a.astype(jnp.float32))))
+        err = float(jnp.max(jnp.abs(
+            b.astype(jnp.float32) - a.astype(jnp.float32)
+        )))
+        # bf16 path through ~20 conv layers: small relative drift only
+        assert err <= 0.05 * max(scale, 1.0), (err, scale)
 
 
 @pytest.mark.tpu
@@ -153,8 +156,9 @@ def test_fast_uint8_forward_on_device():
     )
     reg_a, cls_a = model.module.apply(variables, imgs, train=False)
     reg_b, cls_b = fast_uint8_forward(hp, variables, raw, fused_stage=True)
-    scale = float(jnp.max(jnp.abs(cls_a.astype(jnp.float32))))
-    err = float(jnp.max(jnp.abs(
-        cls_b.astype(jnp.float32) - cls_a.astype(jnp.float32)
-    )))
-    assert err <= 0.05 * max(scale, 1.0), (err, scale)
+    for a, b in ((cls_a, cls_b), (reg_a, reg_b)):
+        scale = float(jnp.max(jnp.abs(a.astype(jnp.float32))))
+        err = float(jnp.max(jnp.abs(
+            b.astype(jnp.float32) - a.astype(jnp.float32)
+        )))
+        assert err <= 0.05 * max(scale, 1.0), (err, scale)

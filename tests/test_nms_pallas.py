@@ -51,6 +51,9 @@ def test_pallas_early_exit_heavy_overlap(rng):
     ref = np.asarray(_nms_keep_sorted_batched(bs, valid, 0.7, 128, 10))
     got, cnt = nms_pallas_keep(bs, valid, 0.7, 10, interpret=True)
     np.testing.assert_array_equal(ref, np.asarray(got))
+    # the early-exit path must leave the keep-COUNT accumulator consistent
+    # with the mask, not just the mask itself
+    np.testing.assert_array_equal(ref.sum(-1), np.asarray(cnt))
 
 
 def test_pallas_keep_block_not_dividing_chunk(rng):
@@ -67,13 +70,19 @@ def test_pallas_keep_block_not_dividing_chunk(rng):
 
 
 def test_batched_nms_pallas_flag_matches_xla(rng):
-    # full public API with use_pallas=True (interpreted via CPU lowering is
-    # not available -> only check the flag plumbs through on CPU by forcing
-    # the XLA path; the TPU equivalence is covered by the kernel tests above)
+    """The PUBLIC API with use_pallas=True (the production default on TPU)
+    must select identically to the XLA path and to TF — on CPU the same
+    kernel runs through the Pallas interpreter, so the production glue
+    (keep-mask -> sorted-index compaction -> num_valid) is what's tested."""
     bs, ss = sorted_boxes(rng, 2, 256)
     idx_a, nv_a = batched_non_max_suppression(
         bs, ss, 50, 0.6, presorted=True, use_pallas=False
     )
+    idx_p, nv_p = batched_non_max_suppression(
+        bs, ss, 50, 0.6, presorted=True, use_pallas=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_p))
+    np.testing.assert_array_equal(np.asarray(nv_a), np.asarray(nv_p))
     assert idx_a.shape == (2, 50)
     tf = pytest.importorskip("tensorflow")
     for b in range(2):

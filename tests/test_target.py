@@ -155,3 +155,113 @@ def test_random_select_mask_uniformity():
         hits += np.asarray(random_select_mask(mask, 8, jax.random.key(s)))
     # expectation 25 each; loose bound to avoid flakes
     assert hits.min() > 5 and hits.max() < 60
+
+
+def test_threshold_values_pinned():
+    """Pin the config's threshold/budget values: the band tests below and
+    every backend-parity test share hp, so a silently changed VALUE would
+    pass them all (reviewer finding). These are the framework's documented
+    contract (config.py; SURVEY.md §5 config row)."""
+    hp = get_hyper_params("vgg16")
+    assert hp.pos_threshold == 0.7
+    assert hp.neg_threshold == 0.3
+    assert hp.total_pos_bboxes == 128
+    assert hp.total_neg_bboxes == 128
+    assert tuple(hp.variances) == (0.1, 0.1, 0.2, 0.2)
+
+
+def test_ignore_band_semantics(rng):
+    """SURVEY.md §3.4: neg_thr < IoU < pos_thr (and not forced) -> label -1.
+
+    Property-checked against the real anchor grid: for every anchor, the
+    label must be consistent with its measured best IoU — mid-band anchors
+    that are not a GT's best anchor can NEVER be sampled as positives or
+    negatives. A collapsed band (e.g. neg_threshold drifting up) fails this
+    with high probability."""
+    from tpurpn.boxes import generate_iou_map
+    from tpurpn.target import iou_matching
+
+    hp = get_hyper_params("vgg16", img_size=160)
+    anchors = generate_anchors(hp)
+    B, M = 2, 8
+    boxes = np.zeros((B, M, 4), np.float32)
+    labels_in = np.full((B, M), -1, np.int32)
+    for b in range(B):
+        for i in range(5):
+            y, x = rng.uniform(0, 0.5, 2)
+            h, w = rng.uniform(0.15, 0.45, 2)
+            boxes[b, i] = (y, x, min(y + h, 1), min(x + w, 1))
+            labels_in[b, i] = 1 + int(rng.integers(0, 20))
+    gt = jnp.asarray(boxes)
+    gl = jnp.asarray(labels_in)
+
+    deltas, lab = calculate_rpn_actual_outputs(
+        anchors, gt, gl, hp, jax.random.key(3), use_pallas=False
+    )
+    lab = np.asarray(lab).reshape(B, -1)
+
+    merged, _, best_anchor = iou_matching(anchors, gt)
+    merged = np.asarray(merged)
+    forced = np.zeros_like(merged, bool)
+    ba = np.asarray(best_anchor)
+    for b in range(B):
+        for m in range(M):
+            if labels_in[b, m] != -1:
+                forced[b, ba[b, m]] = True
+
+    mid_band = (
+        (merged >= hp.neg_threshold) & (merged <= hp.pos_threshold) & ~forced
+    )
+    # there must be enough mid-band anchors for the property to bite
+    assert mid_band.sum() >= 20, mid_band.sum()
+    np.testing.assert_array_equal(lab[mid_band], -1.0)
+    # positives only above the band or forced; negatives only below it
+    assert np.all(merged[lab == 1.0] > hp.pos_threshold) or np.all(
+        forced[lab == 1.0] | (merged[lab == 1.0] > hp.pos_threshold)
+    )
+    assert np.all(merged[lab == 0.0] < hp.neg_threshold)
+
+
+def test_select_by_keys_contract(rng):
+    """Direct unit tests of THE production subsampling rule (select_by_keys)
+    — counts at boundaries, subset-of-candidates, k_max equivalence, and
+    rough uniformity (the migration mirror random_select_mask has its own
+    tests but production does not use it)."""
+    from tpurpn.target import select_by_keys, target_rand_bits
+
+    N, B = 512, 4
+    cand = np.zeros((B, N), bool)
+    avail = [300, 128, 40, 0]
+    for b, a in enumerate(avail):
+        idx = rng.choice(N, size=a, replace=False)
+        cand[b, idx] = True
+    cand = jnp.asarray(cand)
+    words = target_rand_bits(jax.random.key(5), B, N)[:, 0]
+
+    budget = 128.0
+    k_eff = jnp.minimum(budget, jnp.asarray([float(a) for a in avail]))
+    sel = select_by_keys(cand, words, k_eff)
+    sel_np = np.asarray(sel)
+    # exact counts: min(budget, available), including 0
+    np.testing.assert_array_equal(sel_np.sum(-1), [128, 128, 40, 0])
+    # selected only from candidates
+    assert not np.any(sel_np & ~np.asarray(cand))
+    # k_max-bounded fast path selects the identical subset
+    sel_k = select_by_keys(cand, words, k_eff, k_max=128)
+    np.testing.assert_array_equal(sel_np, np.asarray(sel_k))
+
+    # rough uniformity: over many independent word draws, each of the 300
+    # candidates of row 0 should be picked ~128/300 of the time
+    R = 200
+    counts = np.zeros(N)
+    for r in range(R):
+        w = target_rand_bits(jax.random.key(100 + r), B, N)[:, 0]
+        counts += np.asarray(
+            select_by_keys(cand[:1], w[:1], jnp.asarray([128.0]))
+        )[0]
+    p = 128.0 / 300.0
+    freq = counts[np.asarray(cand[0])] / R
+    # binomial std ~ sqrt(p(1-p)/R) ~ 0.035; allow 5 sigma
+    assert np.all(np.abs(freq - p) < 0.18), (freq.min(), freq.max())
+    # and nothing outside the candidate set was ever selected
+    assert counts[~np.asarray(cand[0])].sum() == 0

@@ -24,8 +24,8 @@ from tpurpn.predict import (
 tf = pytest.importorskip("tensorflow")
 
 
-def tf_reference_pipeline(anchors, rpn_reg, rpn_cls_logits, hp, topn):
-    """The reference predictor's math in TF ops (oracle)."""
+def tf_decode(anchors, rpn_reg, rpn_cls_logits, hp):
+    """The reference predictor's decode math in TF ops (oracle)."""
     B = rpn_reg.shape[0]
     deltas = tf.reshape(tf.constant(rpn_reg), (B, -1, 4)) * tf.constant(
         list(hp.variances), tf.float32
@@ -45,11 +45,21 @@ def tf_reference_pipeline(anchors, rpn_reg, rpn_cls_logits, hp, topn):
     boxes = tf.stack(
         [cy - 0.5 * h, cx - 0.5 * w, cy + 0.5 * h, cx + 0.5 * w], axis=-1
     )
+    return boxes.numpy(), scores.numpy()
 
+
+def tf_select(boxes, scores, hp, topn):
+    """The reference predictor's selection (top-k -> tf NMS) on GIVEN
+    candidate arrays — fed the IDENTICAL candidates as tpurpn's selection,
+    per CLAUDE.md's 1-ulp NMS-sensitivity rule (decode parity is asserted
+    separately with a numeric tolerance)."""
+    B = boxes.shape[0]
     out_boxes, out_scores, out_valid = [], [], []
     for b in range(B):
-        top_scores, top_idx = tf.math.top_k(scores[b], k=min(hp.pre_nms_topn, scores.shape[1]))
-        top_boxes = tf.gather(boxes[b], top_idx)
+        top_scores, top_idx = tf.math.top_k(
+            tf.constant(scores[b]), k=min(hp.pre_nms_topn, scores.shape[1])
+        )
+        top_boxes = tf.gather(tf.constant(boxes[b]), top_idx)
         sel = tf.image.non_max_suppression(
             top_boxes, top_scores, topn, iou_threshold=hp.nms_iou_threshold
         )
@@ -83,26 +93,37 @@ def rng():
 def test_reference_path_matches_tf(setup):
     hp, anchors, rpn_reg, rpn_cls = setup
     topn = 80
-    ref_b, ref_s, ref_nv = tf_reference_pipeline(anchors, rpn_reg, rpn_cls, hp, topn)
-
     boxes, scores = decode_outputs(anchors, jnp.asarray(rpn_reg), jnp.asarray(rpn_cls), hp)
+
+    # (a) decode parity vs the TF decode, numeric tolerance
+    tfb, tfs = tf_decode(anchors, rpn_reg, rpn_cls, hp)
+    np.testing.assert_allclose(np.asarray(boxes), tfb, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(scores), tfs, atol=2e-7)
+
+    # (b) selection parity on IDENTICAL candidates (CLAUDE.md 1-ulp rule)
+    ref_b, ref_s, ref_nv = tf_select(
+        np.asarray(boxes), np.asarray(scores), hp, topn
+    )
     out = generate_proposals(boxes, scores, hp, topn=topn)
 
     np.testing.assert_array_equal(np.asarray(out["num_valid"]), ref_nv)
-    np.testing.assert_allclose(np.asarray(out["roi_boxes"]), ref_b, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(out["roi_scores"]), ref_s, atol=2e-7)
+    np.testing.assert_allclose(np.asarray(out["roi_boxes"]), ref_b, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out["roi_scores"]), ref_s, atol=1e-7)
 
 
 def test_plane_path_matches_tf(setup):
     hp, anchors, rpn_reg, rpn_cls = setup
     topn = 80
-    ref_b, ref_s, ref_nv = tf_reference_pipeline(anchors, rpn_reg, rpn_cls, hp, topn)
-
     planes, scores = decode_outputs_planes(
         anchors, jnp.asarray(rpn_reg), jnp.asarray(rpn_cls), hp
     )
+    # identical candidates to both selections: TF NMS consumes the SAME
+    # plane-decoded boxes the kernel consumes
+    boxes = np.asarray(jnp.moveaxis(planes, 1, -1))
+    ref_b, ref_s, ref_nv = tf_select(boxes, np.asarray(scores), hp, topn)
+
     out = generate_proposals_planes(planes, scores, hp, topn=topn, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(out["num_valid"]), ref_nv)
-    np.testing.assert_allclose(np.asarray(out["roi_boxes"]), ref_b, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(out["roi_scores"]), ref_s, atol=2e-7)
+    np.testing.assert_allclose(np.asarray(out["roi_boxes"]), ref_b, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out["roi_scores"]), ref_s, atol=1e-7)

@@ -146,12 +146,23 @@ def test_rpn_generator_parity_api():
 
 
 def test_step_timer():
+    """StepTimer must actually run step_fn iters times and report wall time
+    per step — pinned with a step of known host-side duration (a dt >= 0
+    assertion alone can never fail)."""
+    import time as _time
+
     from tpurpn.profiling import StepTimer
 
-    @jax.jit
+    calls = []
+
     def step(c):
+        calls.append(1)
+        _time.sleep(0.01)
         return c + 1.0
 
     timer = StepTimer(step, jnp.float32(0.0))
-    dt = timer.run(iters=5)
-    assert dt >= 0.0
+    dt = timer.run(iters=5, warmup=1)
+    assert len(calls) == 6  # 1 warmup + 5 timed
+    # per-step time must reflect the 10 ms sleep (loose upper bound for a
+    # loaded CI host)
+    assert 0.009 <= dt < 1.0, dt

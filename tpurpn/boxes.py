@@ -306,8 +306,12 @@ def batched_non_max_suppression(
     if use_pallas:
         from .kernels.nms_pallas import nms_pallas_keep
 
+        # interpret off-TPU: an explicit use_pallas=True on CPU runs the
+        # SAME kernel through the Pallas interpreter, so the production glue
+        # below (keep-mask -> index compaction) is testable without a chip
         keep, _ = nms_pallas_keep(
-            boxes_sorted, valid, float(iou_threshold), max_output_size, block
+            boxes_sorted, valid, float(iou_threshold), max_output_size, block,
+            interpret=jax.default_backend() != "tpu",
         )
     else:
         keep = _nms_keep_sorted_batched(
