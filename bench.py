@@ -97,11 +97,15 @@ def main():
             # the raw input must be carry-dependent too: a loop-invariant
             # preprocess_batch(raw, ...) is hoisted out of the scan by XLA's
             # while-loop LICM and the "preprocess included" number would
-            # silently exclude it. c is ~1e-6-scale so the uint8 cast adds 0;
+            # silently exclude it. The carry is clipped to [0, 1] before the
+            # uint8 cast: float->unsigned convert is UNDEFINED for negative
+            # inputs, so a negative carry could otherwise perturb every pixel
+            # (ADVICE r3). The clipped ~1e-6-scale value truncates to 0, and
             # the add fuses into the uint8->bf16 convert (same pattern as
             # benchmarks/exp_smallbatch.py's prep probe).
             imgs, _ = preprocess_batch(
-                raw + c.astype(jnp.uint8), jnp.zeros((BATCH, 1, 4)),
+                raw + jnp.clip(c, 0.0, 1.0).astype(jnp.uint8),
+                jnp.zeros((BATCH, 1, 4)),
                 hp.img_size, dtype=jnp.bfloat16,
             )
             return e2e_step(variables, imgs, c), None

@@ -242,7 +242,9 @@ def test_from_uint8_rejects_float_images():
     model = get_model(hp)
     variables = init_model(model, jax.random.key(0))
     u8 = make_predict_fn(model, hp, topn=10, from_uint8=True)
-    with pytest.raises(AssertionError, match="uint8"):
+    # TypeError, not AssertionError: the guard must survive python -O
+    # (ADVICE r3)
+    with pytest.raises(TypeError, match="uint8"):
         u8(variables, jnp.zeros((2, 96, 96, 3), jnp.float32))
 
 

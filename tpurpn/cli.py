@@ -119,7 +119,7 @@ def trainer_main(argv=None):
         print(f"[tpurpn] data-parallel over {mesh.devices.size} devices")
     step_fn = make_train_step(hp, model=model, mesh=mesh, augment=not args.no_augment)
 
-    eval_loss_fn = make_eval_loss_fn(hp, model=model)
+    eval_loss_fn = make_eval_loss_fn(hp, model=model, mesh=mesh)
     steps_per_epoch = args.steps_per_epoch or max(1, len(train_ds) // args.batch_size)
     ckpt_path = get_model_path(args.backbone, args.output_dir)
     log_path = get_log_path(args.backbone)
@@ -136,9 +136,13 @@ def trainer_main(argv=None):
         # fixed key -> deterministic target sampling: epochs are comparable
         losses = []
         for imgs, boxes, labels in val_ds.batches(args.batch_size):
+            imgs, boxes, labels = (
+                jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(labels)
+            )
+            if mesh is not None:
+                imgs, boxes, labels = shard_batch(mesh, imgs, boxes, labels)
             losses.append(float(eval_loss_fn(
-                state, jnp.asarray(imgs), jnp.asarray(boxes),
-                jnp.asarray(labels), jax.random.key(0),
+                state, imgs, boxes, labels, jax.random.key(0),
             )))
         return float(np.mean(losses)) if losses else None
 
@@ -196,7 +200,14 @@ def trainer_main(argv=None):
             if len(losses) - checked >= NAN_CHECK_EVERY:
                 check_finite(len(losses))
         check_finite(len(losses))
-        mean_loss = float(np.mean(np.concatenate(all_vals)))
+        # zero-step epoch (train set < batch_size with drop_remainder, or
+        # --steps-per-epoch 0): report nan rather than crash on concatenate([])
+        mean_loss = (
+            float(np.mean(np.concatenate(all_vals))) if all_vals else float("nan")
+        )
+        if not all_vals:
+            print("[tpurpn] WARNING: epoch ran 0 training steps "
+                  f"(steps_per_epoch={steps_per_epoch}) — train loss is nan")
         val_loss = validation_loss(state)
         # degrade loudly, never silently skip every checkpoint: an empty val
         # set (batch_size > len(val_ds) with drop_remainder) monitors the

@@ -264,11 +264,15 @@ def make_predict_fn(model, hp: HyperParams, topn: int | None = None, mesh=None,
     def forward(variables, images):
         if from_uint8:
             raw = images
-            assert raw.dtype == jnp.uint8, (
-                "from_uint8=True expects raw uint8 frames; got dtype "
-                f"{raw.dtype} — already-preprocessed float images would be "
-                "silently renormalized by /255 into near-black frames"
-            )
+            # hard error, not assert: user-facing input validation must
+            # survive ``python -O`` — a float frame slipping through would be
+            # silently renormalized by /255 into near-black images (ADVICE r3)
+            if raw.dtype != jnp.uint8:
+                raise TypeError(
+                    "from_uint8=True expects raw uint8 frames; got dtype "
+                    f"{raw.dtype} — already-preprocessed float images would "
+                    "be silently renormalized by /255 into near-black frames"
+                )
             from .inference import s2d_stem_supported
 
             if fast and s2d_stem_supported(hp, raw.shape):
