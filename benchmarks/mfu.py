@@ -9,7 +9,13 @@ chaining paid a per-iteration host key-split + tunnel enqueue inside the
 timed window, systematically deflating measured TFLOP/s), and emits
 measured TFLOP/s and MFU against the v5e bf16 peak.
 
-    python benchmarks/mfu.py [batch] [backbone] [img_size]
+    python benchmarks/mfu.py [batch] [backbone] [img_size] [grad_accum]
+
+``grad_accum=n`` measures the exact-accumulation step (train.make_train_step
+grad_accum) at effective batch = ``batch``, peak activation memory =
+batch/n — the attack on the VGG16 batch-64 OOM boundary (VERDICT r3 #9):
+``python benchmarks/mfu.py 64 vgg16 500 2`` trains at effective batch 64
+where the monolithic step OOMs.
 """
 
 import sys
@@ -22,7 +28,7 @@ from benchmarks.common import emit, enable_compile_cache
 V5E_BF16_PEAK_TFLOPS = 197.0  # TPU v5e (v5litepod) peak dense bf16
 
 
-def main(batch=32, backbone="vgg16", img_size=500):
+def main(batch=32, backbone="vgg16", img_size=500, grad_accum=1):
     enable_compile_cache()
     import jax
     import jax.numpy as jnp
@@ -33,7 +39,7 @@ def main(batch=32, backbone="vgg16", img_size=500):
 
     hp = get_hyper_params(backbone, img_size=img_size)
     state = create_train_state(hp, jax.random.key(0))
-    step = make_train_step(hp, augment=True)
+    step = make_train_step(hp, augment=True, grad_accum=grad_accum)
 
     ds = SyntheticVOC(num_samples=batch)
     imgs, boxes, labels = next(ds.batches(batch))
@@ -76,8 +82,9 @@ def main(batch=32, backbone="vgg16", img_size=500):
         best = min(best, (time.perf_counter() - t0) / iters)
 
     tflops = flops / best / 1e12
+    suffix = f"_accum{grad_accum}" if grad_accum > 1 else ""
     emit(
-        f"train_step_mfu_{backbone}_b{batch}",
+        f"train_step_mfu_{backbone}_b{batch}{suffix}",
         100.0 * tflops / V5E_BF16_PEAK_TFLOPS,
         "percent_of_v5e_bf16_peak",
         tflop_per_step=round(flops / 1e12, 3),
@@ -92,4 +99,5 @@ if __name__ == "__main__":
         int(sys.argv[1]) if len(sys.argv) > 1 else 32,
         sys.argv[2] if len(sys.argv) > 2 else "vgg16",
         int(sys.argv[3]) if len(sys.argv) > 3 else 500,
+        int(sys.argv[4]) if len(sys.argv) > 4 else 1,
     )

@@ -35,4 +35,6 @@ T=1800 run python benchmarks/exp_s2d_resize.py 8
 T=1800 run python benchmarks/exp_s2d_resize.py 128
 T=1200 run python benchmarks/config4_nms_stress.py
 T=1800 run python benchmarks/config5_coco_scale_dp.py
+#   7. MFU coda (round 4): exact grad accumulation past the batch-64 OOM
+T=1800 run python benchmarks/mfu.py 64 vgg16 500 2
 echo "=== battery done $(date) ===" >> "$LOG"

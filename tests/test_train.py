@@ -136,6 +136,61 @@ def test_mesh_train_step_multiple_steps_finite():
         assert np.isfinite(float(metrics["loss"]))
 
 
+def test_grad_accum_step_matches_full_batch():
+    """grad_accum=2 must produce the SAME post-step params as the plain
+    full-batch step: targets are shared (same key derivation), micro losses
+    are normalized by global counts, gradients are summed — exact up to
+    float reduction order, not just in expectation."""
+    hp = tiny_hp()  # VGG16: no BatchNorm, so the equivalence is exact
+    imgs, boxes, labels = make_batch(hp, batch_size=8)
+    key = jax.random.key(5)
+
+    state_a = create_train_state(hp, jax.random.key(0))
+    step_a = make_train_step(hp, augment=False)
+    state_a, m_a = step_a(state_a, imgs, boxes, labels, key)
+
+    state_b = create_train_state(hp, jax.random.key(0))
+    step_b = make_train_step(hp, augment=False, grad_accum=2)
+    state_b, m_b = step_b(state_b, imgs, boxes, labels, key)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
+    assert int(m_a["num_pos"]) == int(m_b["num_pos"])
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_grad_accum_step_mobilenet_finite_and_stats_update():
+    """BN path: microbatch stats chain through the scan; loss finite,
+    stats move."""
+    hp = tiny_hp("mobilenet_v2")
+    state = create_train_state(hp, jax.random.key(0))
+    step = make_train_step(hp, augment=False, grad_accum=4)
+    imgs, boxes, labels = make_batch(hp, batch_size=8)
+    old_stats = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.batch_stats)]
+    state, metrics = step(state, imgs, boxes, labels, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    new_stats = jax.tree_util.tree_leaves(state.batch_stats)
+    assert any(
+        not np.allclose(a, np.asarray(b)) for a, b in zip(old_stats, new_stats)
+    )
+
+
+def test_grad_accum_rejects_bad_config():
+    import pytest as _pytest
+
+    hp = tiny_hp()
+    with _pytest.raises(ValueError, match="grad_accum"):
+        make_train_step(hp, grad_accum=0)
+    with _pytest.raises(NotImplementedError, match="mesh"):
+        make_train_step(hp, mesh=make_data_mesh(2), grad_accum=2)
+    step = make_train_step(hp, augment=False, grad_accum=3)
+    imgs, boxes, labels = make_batch(hp, batch_size=8)  # 8 % 3 != 0
+    with _pytest.raises(ValueError, match="divisible"):
+        step(create_train_state(hp, jax.random.key(0)), imgs, boxes, labels,
+             jax.random.key(0))
+
+
 def test_get_step_size():
     from tpurpn.train import get_step_size
 

@@ -28,13 +28,26 @@ def huber(error: jnp.ndarray, delta: float = 1.0) -> jnp.ndarray:
     return 0.5 * quad * quad + delta * (abs_e - quad)
 
 
-def reg_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
+def reg_pos_count(y_true: jnp.ndarray) -> jnp.ndarray:
+    """Number of positive anchors (nonzero target rows) — reg_loss's
+    denominator. Exposed so gradient accumulation can normalize microbatch
+    sums by the GLOBAL count (train.make_train_step grad_accum)."""
+    t = y_true.reshape(y_true.shape[0], -1, 4)
+    return jnp.sum(jnp.any(t != 0.0, axis=-1).astype(jnp.float32))
+
+
+def reg_loss(
+    y_true: jnp.ndarray, y_pred: jnp.ndarray, normalizer=None
+) -> jnp.ndarray:
     """Masked smooth-L1 box-regression loss.
 
     Args:
       y_true: (B, fm, fm, A*4) target deltas (zero outside positives) — the
         output of target.calculate_rpn_actual_outputs.
       y_pred: (B, fm, fm, A*4) predicted deltas.
+      normalizer: optional denominator override. Default is
+        max(1, #positives in y_true); gradient accumulation passes the
+        global count so microbatch losses sum EXACTLY to the full-batch loss.
 
     Positive anchors are identified by a nonzero target row, exactly like the
     reference (utils/train_utils.reg_loss).
@@ -45,22 +58,34 @@ def reg_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
     per_anchor = jnp.mean(huber(t - p), axis=-1)  # Keras Huber: mean over last axis
     pos = jnp.any(t != 0.0, axis=-1).astype(jnp.float32)
     total = jnp.sum(per_anchor * pos)
-    return total / jnp.maximum(1.0, jnp.sum(pos))
+    if normalizer is None:
+        normalizer = jnp.maximum(1.0, jnp.sum(pos))
+    return total / normalizer
 
 
-def rpn_cls_loss(y_true: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
+def cls_valid_count(y_true: jnp.ndarray) -> jnp.ndarray:
+    """Number of counted (label != -1) anchors — rpn_cls_loss's denominator."""
+    return jnp.sum((y_true != -1.0).astype(jnp.float32))
+
+
+def rpn_cls_loss(
+    y_true: jnp.ndarray, logits: jnp.ndarray, normalizer=None
+) -> jnp.ndarray:
     """Masked binary cross-entropy objectness loss, from logits.
 
     Args:
       y_true: (B, fm, fm, A) labels in {1, 0, -1}; -1 entries are ignored.
       logits: (B, fm, fm, A) raw objectness logits.
+      normalizer: optional denominator override (see reg_loss).
     """
     valid = (y_true != -1.0).astype(jnp.float32)
     target = jnp.clip(y_true, 0.0, 1.0)
     # stable sigmoid BCE: max(x,0) - x*z + log(1 + exp(-|x|))
     x = logits
     bce = jnp.maximum(x, 0.0) - x * target + jnp.log1p(jnp.exp(-jnp.abs(x)))
-    return jnp.sum(bce * valid) / jnp.maximum(1.0, jnp.sum(valid))
+    if normalizer is None:
+        normalizer = jnp.maximum(1.0, jnp.sum(valid))
+    return jnp.sum(bce * valid) / normalizer
 
 
 def rpn_cls_loss_probs(
