@@ -117,7 +117,9 @@ def trainer_main(argv=None):
         mesh = make_data_mesh()
         state = replicate(mesh, state)
         print(f"[tpurpn] data-parallel over {mesh.devices.size} devices")
-    step_fn = make_train_step(hp, model=model, mesh=mesh, augment=not args.no_augment)
+    step_fn = make_train_step(hp, model=model, mesh=mesh,
+                              augment=not args.no_augment,
+                              grad_accum=args.grad_accum)
 
     eval_loss_fn = make_eval_loss_fn(hp, model=model, mesh=mesh)
     steps_per_epoch = args.steps_per_epoch or max(1, len(train_ds) // args.batch_size)

@@ -50,6 +50,12 @@ def handle_args(argv=None) -> argparse.Namespace:
     )
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all visible devices")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="split each batch into N microbatches and accumulate "
+                        "gradients (exact — equals the full-batch gradient): "
+                        "trains at batch sizes whose activations OOM "
+                        "monolithically, e.g. VGG16 @ 500 px batch 64 on one "
+                        "v5e. Incompatible with --data-parallel")
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--no-shuffle", action="store_true",
                    help="disable per-epoch training-data shuffling")
