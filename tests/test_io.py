@@ -154,3 +154,19 @@ def test_keras_h5_export_import_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(stats),
     ):
         np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b))
+
+
+def test_handle_args_reference_mirror_and_grad_accum():
+    """The argparse surface mirrors the reference flags (SURVEY.md §2 row 8:
+    --backbone, -handle-gpu) plus tpurpn extensions (--grad-accum)."""
+    from tpurpn.io_utils import handle_args
+
+    a = handle_args(["--backbone", "mobilenet_v2", "-handle-gpu",
+                     "--grad-accum", "4", "--batch-size", "32"])
+    assert a.backbone == "mobilenet_v2"
+    assert a.handle_gpu is True
+    assert a.grad_accum == 4
+    assert a.batch_size == 32
+    # defaults
+    d = handle_args([])
+    assert d.backbone == "vgg16" and d.grad_accum == 1 and d.handle_gpu is False
