@@ -276,7 +276,8 @@ def run_tf(backbone, img_size, steps, batch, lr, out_path, bn_momentum=None):
 # ---------------------------------------------------------------------------
 
 
-def run_tpurpn(backbone, img_size, steps, batch, lr, out_path, bn_momentum=None):
+def run_tpurpn(backbone, img_size, steps, batch, lr, out_path, bn_momentum=None,
+               compute_dtype=None):
     from benchmarks.common import enable_compile_cache
 
     enable_compile_cache()
@@ -295,6 +296,12 @@ def run_tpurpn(backbone, img_size, steps, batch, lr, out_path, bn_momentum=None)
     cfg = shared_config(backbone, img_size)
     if bn_momentum is not None:
         cfg["bn_momentum"] = float(bn_momentum)
+    if compute_dtype is not None:
+        # CPU fallback during TPU tunnel outages: bf16 convs are pathologically
+        # slow on the CPU backend (>5x the f32 time); float32 keeps the
+        # training-semantics comparison while staying wall-clock feasible.
+        # Recorded in the result JSON.
+        cfg["compute_dtype"] = compute_dtype
     hp = get_hyper_params(**cfg)
     model = get_model(hp)
     state = create_train_state(hp, jax.random.key(0), tx=optax.adam(lr),
@@ -340,6 +347,7 @@ def run_tpurpn(backbone, img_size, steps, batch, lr, out_path, bn_momentum=None)
         train_seconds=round(train_time, 1),
         backend=jax.default_backend(),
         bn_momentum=hp.bn_momentum,
+        compute_dtype=hp.compute_dtype,
     )
     with open(out_path, "w") as f:
         json.dump(result, f)
@@ -371,6 +379,9 @@ if __name__ == "__main__":
     else:
         backbone, img, steps, batch, lr, out = sys.argv[2:8]
         bn_m = float(sys.argv[8]) if len(sys.argv) > 8 else None
+        kw = {}
+        if mode == "tpurpn" and len(sys.argv) > 9:
+            kw["compute_dtype"] = sys.argv[9]
         fn = run_tf if mode == "tf" else run_tpurpn
         fn(backbone, int(img), int(steps), int(batch), float(lr), out,
-           bn_momentum=bn_m)
+           bn_momentum=bn_m, **kw)
