@@ -1,6 +1,12 @@
 """BASELINE config 2: MobileNetV2 RPN batched inference (batch 8), VOC-style
 data, anchors + NMS end-to-end. BASELINE.json:8.
 
+Two rows: the shipped fast serving path (make_predict_fn(fast=True,
+from_uint8=True) routing at batch 8 = s2d-emitting resize stem + fused
+IR-stage forward, tpurpn.inference) — the headline config-2 number — and the
+plain folded-BN flax path as the comparison point the round-1..3 floor
+analysis was built on.
+
     python benchmarks/config2_mobilenet_batch8.py
 """
 
@@ -34,7 +40,12 @@ def main():
     raw_imgs, boxes, labels = next(ds.batches(BATCH))
     raw_imgs = jnp.asarray(raw_imgs)
 
-    def step(variables, raw, carry):
+    def tail(reg, cls):
+        planes_t, s = decode_outputs_packed(anchors, reg, cls, hp)
+        out = generate_proposals_packed(planes_t, s, hp, topn=hp.test_nms_topn)
+        return out["roi_scores"].mean() * 1e-6
+
+    def step_plain(variables, raw, carry):
         # on-device preprocessing included: uint8 -> bf16 [0,1] resize 500x500.
         # The carry nudge goes on raw BEFORE the preprocess: nudging imgs
         # after it leaves preprocess_batch loop-invariant and XLA's while-loop
@@ -45,19 +56,30 @@ def main():
             hp.img_size, dtype=jnp.bfloat16,
         )
         reg, cls = model.module.apply(variables, imgs, train=False)
-        planes_t, s = decode_outputs_packed(anchors, reg, cls, hp)
-        out = generate_proposals_packed(planes_t, s, hp, topn=hp.test_nms_topn)
-        return out["roi_scores"].mean() * 1e-6
+        return tail(reg, cls)
+
+    def step_fast(variables, raw, carry):
+        # the shipped serving route at batch 8 (s2d_stem_supported):
+        # s2d-emitting resize + folded Conv1 + fused IR mid-stage
+        from tpurpn.inference import fast_uint8_forward
+
+        reg, cls = fast_uint8_forward(
+            hp, variables, raw + carry.astype(jnp.uint8), fused_stage=True
+        )
+        return tail(reg, cls)
 
     # scan-chained like the headline bench: device throughput (a serving
     # deployment pipelines requests; the ~25 ms/dispatch tunnel is an
     # artifact of this environment — benchmarks/common.py docstring)
-    dt = time_scan_chained(step, variables, raw_imgs, iters=30)
+    dt_fast = time_scan_chained(step_fast, variables, raw_imgs, iters=30)
+    dt_plain = time_scan_chained(step_plain, variables, raw_imgs, iters=30)
     emit(
         "config2_mobilenet_v2_batch8_e2e",
-        BATCH / dt,
+        BATCH / dt_fast,
         "images/sec/chip",
         baseline=5000.0,
+        flax_path_img_s=round(BATCH / dt_plain, 1),
+        fast_vs_flax=round(dt_plain / dt_fast, 3),
     )
 
 
