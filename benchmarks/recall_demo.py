@@ -16,7 +16,9 @@ bench.py picks up for the trained-score-distribution re-validation.
 Round-1 recipe (BASELINE.md): batch 16, adam 3e-4, bn_momentum 0.99; eval
 with BN running stats. With ckpt_dir, the full train state is restored from
 it when present and saved back at the end (long VGG16 runs continue across
-invocations).
+invocations). Round 4: training runs via make_scan_train_steps — the whole
+train set lives in HBM and steps chain on-device in 400-step dispatches
+(bit-identical walk/keys to the former per-step host loop; see train.py).
 """
 
 import sys
@@ -37,11 +39,11 @@ def main(backbone="vgg16", steps=800, batch=16, ckpt_dir=None, lr=3e-4,
     import optax
 
     from tpurpn import get_hyper_params
-    from tpurpn.data import Prefetcher, get_dataset, preprocess_batch
+    from tpurpn.data import get_dataset, preprocess_batch
     from tpurpn.eval import proposal_recall
     from tpurpn.model import get_model
     from tpurpn.predict import make_predict_fn
-    from tpurpn.train import create_train_state, make_train_step
+    from tpurpn.train import create_train_state, make_scan_train_steps
 
     hp = get_hyper_params(backbone)
     model = get_model(hp)
@@ -59,7 +61,6 @@ def main(backbone="vgg16", steps=800, batch=16, ckpt_dir=None, lr=3e-4,
         state = state.replace(**restored)
         print(f"# resumed from {ckpt_dir} at step {int(state.step)}",
               file=sys.stderr)
-    step = make_train_step(hp, model=model, augment=True)
     predict = make_predict_fn(model, hp)
 
     # 4096 train samples: the default 256-image fixture is memorizable by the
@@ -87,21 +88,46 @@ def main(backbone="vgg16", steps=800, batch=16, ckpt_dir=None, lr=3e-4,
     r0 = eval_recall(state)
     emit(f"{backbone}_recall300_random_init", round(r0, 4), "recall")
 
-    key = jax.random.key(1)
-    it = Prefetcher(train_ds.batches(batch, repeat=True), depth=2)
+    # Device-resident scanned training (round 4): upload the whole 4096-sample
+    # train set ONCE (2.3 GB uint8, HBM-resident), then chain steps on-device
+    # in chunks of a few hundred per dispatch (make_scan_train_steps — same
+    # data walk/key chain as the former per-step host loop; floats agree to
+    # round-off, pinned in tests). Through
+    # the axon tunnel the old loop paid ~9 MB upload + a dispatch roundtrip
+    # per step (~600 ms/step against a ~70 ms device step); the scanned path
+    # pays one upload + one sync per chunk.
+    steps = int(steps)
     loss = float("nan")
-    for s in range(int(steps)):
-        imgs, boxes, labels = next(it)
-        key, sk = jax.random.split(key)
-        state, metrics = step(
-            state, jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(labels), sk
+    if steps > 0:
+        imgs_all, boxes_all, labels_all = (
+            jnp.asarray(x) for x in next(train_ds.batches(len(train_ds)))
         )
-        # sync the loss only every 100 steps: a per-step host pull costs a
-        # ~25 ms tunnel roundtrip on top of the compute
-        if s % 100 == 0 or s == int(steps) - 1:
-            loss = float(metrics["loss"])
-            assert np.isfinite(loss), f"non-finite loss at step {s}"
-            print(f"# step {s}: loss={loss:.4f}", file=sys.stderr)
+        key = jax.random.key(1)
+        chunk = min(400, steps)
+        run = make_scan_train_steps(
+            hp, model=model, augment=True, batch_size=batch, num_steps=chunk
+        )
+        done = 0
+        while done < steps:
+            if steps - done < chunk:  # short final chunk: its own program
+                chunk = steps - done
+                run = make_scan_train_steps(
+                    hp, model=model, augment=True, batch_size=batch,
+                    num_steps=chunk,
+                )
+            start = int(state.step)
+            state, key, metrics = run(
+                state, key, imgs_all, boxes_all, labels_all
+            )
+            done += chunk
+            # one host sync per chunk (a per-step pull costs a ~25 ms tunnel
+            # roundtrip each); check every step's loss while we're here
+            losses = np.asarray(metrics["loss"])
+            assert np.isfinite(losses).all(), (
+                f"non-finite loss in steps {start}..{start + chunk}"
+            )
+            loss = float(losses[-1])
+            print(f"# step {start + chunk - 1}: loss={loss:.4f}", file=sys.stderr)
 
     if ckpt_dir:
         from tpurpn.io_utils import save_checkpoint

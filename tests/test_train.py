@@ -191,6 +191,98 @@ def test_grad_accum_rejects_bad_config():
              jax.random.key(0))
 
 
+def test_scan_train_steps_matches_host_loop():
+    """One scanned multi-step call == the host loop it replaces: same data
+    walk ((s*B) % N slices vs batches(repeat=True)), same key chain (split
+    per step), same step body. Augment ON so the per-step RNG path is
+    exercised too. Equality is to float round-off, not bit-for-bit: the scan
+    compiles the body inside a loop context, so XLA fuses it differently
+    from the standalone jitted step (measured: 1-ulp loss differences). All
+    integer/random state (sampling words, selection keys) is identical."""
+    from tpurpn.train import make_scan_train_steps
+
+    hp = tiny_hp()
+    batch, n_samples, n_steps = 4, 8, 6  # 6 steps over 2 batches: wraps 3x
+    ds = SyntheticVOC(num_samples=n_samples, raw_h=72, raw_w=96, seed=3)
+    host_batches = []
+    it = ds.batches(batch, repeat=True)
+    for _ in range(n_steps):
+        host_batches.append(next(it))
+
+    # host loop (the recall_demo.py structure)
+    state_a = create_train_state(hp, jax.random.key(0))
+    step = make_train_step(hp, augment=True)
+    key = jax.random.key(1)
+    losses_a = []
+    for imgs, boxes, labels in host_batches:
+        key, sk = jax.random.split(key)
+        state_a, m = step(state_a, jnp.asarray(imgs), jnp.asarray(boxes),
+                          jnp.asarray(labels), sk)
+        losses_a.append(float(m["loss"]))
+
+    # one scanned call over the device-resident dataset
+    imgs_all, boxes_all, labels_all = (
+        jnp.asarray(x) for x in next(ds.batches(n_samples))
+    )
+    state_b = create_train_state(hp, jax.random.key(0))
+    run = make_scan_train_steps(hp, augment=True, batch_size=batch,
+                                num_steps=n_steps)
+    state_b, _, metrics = run(state_b, jax.random.key(1), imgs_all, boxes_all,
+                              labels_all)
+
+    np.testing.assert_allclose(
+        np.asarray(metrics["loss"]), np.asarray(losses_a, np.float32),
+        rtol=3e-6, atol=0,
+    )
+    assert int(state_b.step) == n_steps
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-6, atol=1e-6
+        )
+
+
+def test_scan_train_steps_chunked_resume_continues_data_walk():
+    """Two chunked calls (start_step continuing) == one longer call."""
+    from tpurpn.train import make_scan_train_steps
+
+    hp = tiny_hp()
+    batch, n_samples = 4, 8
+    ds = SyntheticVOC(num_samples=n_samples, raw_h=72, raw_w=96, seed=3)
+    imgs_all, boxes_all, labels_all = (
+        jnp.asarray(x) for x in next(ds.batches(n_samples))
+    )
+
+    run4 = make_scan_train_steps(hp, augment=False, batch_size=batch, num_steps=4)
+    state_a = create_train_state(hp, jax.random.key(0))
+    state_a, _, _ = run4(state_a, jax.random.key(1), imgs_all, boxes_all,
+                         labels_all)
+
+    run2 = make_scan_train_steps(hp, augment=False, batch_size=batch, num_steps=2)
+    state_b = create_train_state(hp, jax.random.key(0))
+    state_b, key_b, _ = run2(state_b, jax.random.key(1), imgs_all, boxes_all,
+                             labels_all)
+    state_b, _, _ = run2(state_b, key_b, imgs_all, boxes_all, labels_all)
+
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scan_train_steps_rejects_ragged_dataset():
+    from tpurpn.train import make_scan_train_steps
+
+    hp = tiny_hp()
+    ds = SyntheticVOC(num_samples=6, raw_h=72, raw_w=96, seed=3)
+    imgs, boxes, labels = (jnp.asarray(x) for x in next(ds.batches(6)))
+    run = make_scan_train_steps(hp, augment=False, batch_size=4, num_steps=2)
+    with pytest.raises(ValueError, match="divisible"):
+        run(create_train_state(hp, jax.random.key(0)), jax.random.key(1),
+            imgs, boxes, labels)
+    with pytest.raises(ValueError, match=">= 1"):
+        make_scan_train_steps(hp, batch_size=0, num_steps=2)
+
+
 def test_get_step_size():
     from tpurpn.train import get_step_size
 

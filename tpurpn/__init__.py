@@ -38,8 +38,8 @@ def __getattr__(name):
         from .predict import make_predict_fn
 
         return make_predict_fn
-    if name in ("make_train_step", "create_train_state", "rpn_generator",
-                "get_step_size"):
+    if name in ("make_train_step", "make_scan_train_steps", "create_train_state",
+                "rpn_generator", "get_step_size"):
         from . import train
 
         return getattr(train, name)
@@ -69,6 +69,7 @@ __all__ = [
     "fold_batch_norm",
     "make_predict_fn",
     "make_train_step",
+    "make_scan_train_steps",
     "create_train_state",
     "rpn_generator",
     "get_step_size",

@@ -130,6 +130,33 @@ def make_train_step(
     if grad_accum > 1:
         return _make_grad_accum_step(hp, model, anchors, augment, grad_accum)
 
+    step_fn = _make_step_fn(hp, model, anchors, augment)
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(replicated, batch_sharded, batch_sharded, batch_sharded, replicated),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+
+    def wrapped(state, images_u8, gt_boxes, gt_labels, key):
+        # jax>=0.9 sharding-in-types: scatter/gather lowering needs the mesh
+        # in context while tracing sharded operands
+        with jax.set_mesh(mesh):
+            return jitted(state, images_u8, gt_boxes, gt_labels, key)
+
+    return wrapped
+
+
+def _make_step_fn(hp, model, anchors, augment):
+    """The pure single-step body shared by make_train_step (jitted directly)
+    and make_scan_train_steps (scanned over a device-resident dataset)."""
+
     def step_fn(state: TrainState, images_u8, gt_boxes, gt_labels, key):
         prep_key, target_key = jax.random.split(jax.random.fold_in(key, state.step))
         images, gt_boxes_aug = preprocess_batch(
@@ -169,25 +196,86 @@ def make_train_step(
         }
         return state, metrics
 
-    if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn
 
-    replicated = NamedSharding(mesh, P())
-    batch_sharded = NamedSharding(mesh, P("data"))
-    jitted = jax.jit(
-        step_fn,
-        in_shardings=(replicated, batch_sharded, batch_sharded, batch_sharded, replicated),
-        out_shardings=(replicated, replicated),
-        donate_argnums=(0,),
-    )
 
-    def wrapped(state, images_u8, gt_boxes, gt_labels, key):
-        # jax>=0.9 sharding-in-types: scatter/gather lowering needs the mesh
-        # in context while tracing sharded operands
-        with jax.set_mesh(mesh):
-            return jitted(state, images_u8, gt_boxes, gt_labels, key)
+def make_scan_train_steps(
+    hp: HyperParams,
+    model: Optional[RPNModel] = None,
+    augment: bool = True,
+    *,
+    batch_size: int,
+    num_steps: int,
+):
+    """Chain ``num_steps`` train steps into ONE jitted program over a
+    device-resident dataset — the TPU-native answer to host-feed-bound
+    training loops.
 
-    return wrapped
+    The reference feeds Keras ``model.fit`` from a host Python generator one
+    batch at a time (SURVEY.md §3.1) — fine locally, but any per-step
+    host->device hop (here: ~9 MB of uint8 frames per batch-16 step through
+    the axon tunnel, ~600 ms/step against a ~70 ms device step) serializes
+    training on the interconnect. This builder instead takes the WHOLE
+    dataset as device arrays (uint8 frames: 4096 VOC-sized samples = 2.3 GB,
+    comfortably HBM-resident) and runs a ``lax.scan`` of the standard step
+    body, slicing batch ``s`` as rows ``[(s*B) % N, ... + B)`` — the same
+    fixed-order, drop-remainder walk ``SyntheticVOC.batches(repeat=True)``
+    performs on the host (N must divide by B; raises otherwise).
+
+    Semantics match calling ``make_train_step``'s function in a host loop
+    with ``key, sk = jax.random.split(key)`` per step: the body is literally
+    the same ``_make_step_fn`` closure (per-step randomness is folded from
+    ``state.step`` inside it), so every random word and integer selection
+    key is identical; floats agree to round-off (the scan compiles the body
+    in a loop context, so XLA fuses it differently than the standalone
+    step — measured 1-ulp loss differences; pinned in tests). No mesh
+    variant: a sharded dataset would pin each sample to one device; for
+    data-parallel training use make_train_step, whose per-step host feed is
+    the sharding boundary.
+
+    run(state, key, images_u8 (N,H,W,3), gt_boxes (N,M,4), gt_labels (N,M))
+        -> (state, key, metrics)                 [metrics values: (num_steps,)]
+
+    The data walk is positioned by ``state.step`` (batch ``s`` starts at row
+    ``(state.step * B) % N``), so chunked calls — and runs resumed from a
+    checkpoint — continue the epoch exactly where the previous call stopped,
+    and the donated state needs no step argument passed alongside it.
+    """
+    if batch_size < 1 or num_steps < 1:
+        raise ValueError(
+            f"batch_size and num_steps must be >= 1, got {batch_size}, {num_steps}"
+        )
+    model = model or get_model(hp)
+    anchors = generate_anchors(hp)
+    step_fn = _make_step_fn(hp, model, anchors, augment)
+
+    def run_fn(state, key, images_u8, gt_boxes, gt_labels):
+        n = images_u8.shape[0]
+        if n % batch_size:
+            raise ValueError(
+                f"dataset size {n} not divisible by batch_size {batch_size}: "
+                "the host iterator drops the remainder; pad or trim the data"
+            )
+
+        def body(carry, _):
+            state, key = carry
+            key, sk = jax.random.split(key)
+            off = (state.step.astype(jnp.int32) * batch_size) % n
+
+            def sl(a):
+                return jax.lax.dynamic_slice_in_dim(a, off, batch_size, axis=0)
+
+            state, metrics = step_fn(
+                state, sl(images_u8), sl(gt_boxes), sl(gt_labels), sk
+            )
+            return (state, key), metrics
+
+        (state, key), metrics = jax.lax.scan(
+            body, (state, key), None, length=num_steps
+        )
+        return state, key, metrics
+
+    return jax.jit(run_fn, donate_argnums=(0,))
 
 
 def _make_grad_accum_step(hp, model, anchors, augment, n_micro):
