@@ -59,6 +59,32 @@ def test_trainer_then_predictor_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
+def test_trainer_device_data_mode(tmp_path):
+    """--device-data trains through the scanned device-resident path: same
+    epoch/checkpoint surface, plus the resident-data banner; and the
+    incompatible-flag combinations fail loudly."""
+    out_dir = str(tmp_path / "trained")
+    common = (
+        "--backbone", "mobilenet_v2", "--img-size", "64", "--epochs", "1",
+        "--steps-per-epoch", "2", "--batch-size", "2",
+        "--output-dir", out_dir, "--learning-rate", "0.001",
+    )
+    r = run_cli("rpn_trainer.py", *common, "--device-data")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "device-resident training data" in r.stdout
+    assert "saved best checkpoint" in r.stdout
+    assert os.path.isdir(os.path.join(out_dir, "rpn_mobilenet_v2"))
+
+    r2 = run_cli("rpn_trainer.py", *common, "--device-data", "--data-parallel")
+    assert r2.returncode != 0
+    assert "incompatible with --data-parallel" in (r2.stdout + r2.stderr)
+
+    r3 = run_cli("rpn_trainer.py", *common, "--device-data", "--grad-accum", "2")
+    assert r3.returncode != 0
+    assert "incompatible with --grad-accum" in (r3.stdout + r3.stderr)
+
+
+@pytest.mark.slow
 def test_predictor_random_init_warns(tmp_path):
     r = run_cli(
         "rpn_predictor.py",

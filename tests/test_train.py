@@ -269,6 +269,53 @@ def test_scan_train_steps_chunked_resume_continues_data_walk():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_scan_train_steps_sample_idx_matches_shuffled_host_loop():
+    """sample_idx mode == the host loop over batches(shuffle=seed): the index
+    walk is the shared batch_index_iter, so the scanned trainer replays the
+    exact per-epoch shuffled order (crossing an epoch boundary here)."""
+    from tpurpn.data import batch_index_iter
+    from tpurpn.train import make_scan_train_steps
+
+    hp = tiny_hp()
+    batch, n_samples, n_steps, seed = 4, 8, 5, 7  # 2 steps/epoch: 3 epochs
+    ds = SyntheticVOC(num_samples=n_samples, raw_h=72, raw_w=96, seed=3)
+
+    state_a = create_train_state(hp, jax.random.key(0))
+    step = make_train_step(hp, augment=True)
+    key = jax.random.key(1)
+    it = ds.batches(batch, repeat=True, shuffle=seed)
+    losses_a = []
+    for _ in range(n_steps):
+        imgs, boxes, labels = next(it)
+        key, sk = jax.random.split(key)
+        state_a, m = step(state_a, jnp.asarray(imgs), jnp.asarray(boxes),
+                          jnp.asarray(labels), sk)
+        losses_a.append(float(m["loss"]))
+
+    imgs_all, boxes_all, labels_all = (
+        jnp.asarray(x) for x in next(ds.batches(n_samples))
+    )
+    idx_it = batch_index_iter(n_samples, batch, repeat=True, shuffle=seed)
+    sample_idx = jnp.asarray(
+        np.stack([next(idx_it) for _ in range(n_steps)]), jnp.int32
+    )
+    state_b = create_train_state(hp, jax.random.key(0))
+    run = make_scan_train_steps(hp, augment=True, batch_size=batch,
+                                num_steps=n_steps)
+    state_b, _, metrics = run(state_b, jax.random.key(1), imgs_all, boxes_all,
+                              labels_all, sample_idx)
+
+    np.testing.assert_allclose(
+        np.asarray(metrics["loss"]), np.asarray(losses_a, np.float32),
+        rtol=3e-6, atol=0,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-6, atol=1e-6
+        )
+
+
 def test_scan_train_steps_rejects_ragged_dataset():
     from tpurpn.train import make_scan_train_steps
 
@@ -279,8 +326,19 @@ def test_scan_train_steps_rejects_ragged_dataset():
     with pytest.raises(ValueError, match="divisible"):
         run(create_train_state(hp, jax.random.key(0)), jax.random.key(1),
             imgs, boxes, labels)
+    with pytest.raises(ValueError, match="sample_idx shape"):
+        run(create_train_state(hp, jax.random.key(0)), jax.random.key(1),
+            imgs, boxes, labels, jnp.zeros((3, 4), jnp.int32))
     with pytest.raises(ValueError, match=">= 1"):
         make_scan_train_steps(hp, batch_size=0, num_steps=2)
+    # explicit sample_idx lifts the divisibility requirement (6 % 4 != 0)
+    state, _, metrics = run(
+        create_train_state(hp, jax.random.key(0)), jax.random.key(1),
+        imgs, boxes, labels,
+        jnp.asarray([[0, 1, 2, 3], [4, 5, 0, 1]], jnp.int32),
+    )
+    assert int(state.step) == 2
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
 
 
 def test_get_step_size():

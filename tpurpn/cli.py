@@ -150,12 +150,45 @@ def trainer_main(argv=None):
 
     print(f"[tpurpn] training {args.epochs} epochs x {steps_per_epoch} steps, "
           f"batch {args.batch_size}; logs: {log_path}")
-    from tpurpn.data import Prefetcher
+    from tpurpn.data import Prefetcher, batch_index_iter
+    from tpurpn.train import make_scan_train_steps
 
     shuffle = None if args.no_shuffle else args.seed
-    it = Prefetcher(
-        train_ds.batches(args.batch_size, repeat=True, shuffle=shuffle), depth=2
-    )
+    it = idx_it = None
+    scan_runs = {}
+    if args.device_data:
+        # whole training set HBM-resident; steps chained on-device in
+        # NAN_CHECK_EVERY-step lax.scan dispatches. Identical sample walk
+        # (batch_index_iter is the iterator's own index logic) and key chain
+        # (split per step) as the host loop below — only the per-step
+        # host->device upload disappears.
+        if args.data_parallel:
+            raise SystemExit(
+                "--device-data is incompatible with --data-parallel: the "
+                "scanned trainer has no mesh variant (the per-step host feed "
+                "is the sharding boundary)"
+            )
+        if args.grad_accum > 1:
+            raise SystemExit("--device-data is incompatible with --grad-accum")
+        try:
+            dev_imgs, dev_boxes, dev_labels = (
+                jnp.asarray(x) for x in next(train_ds.batches(len(train_ds)))
+            )
+        except ValueError as e:
+            raise SystemExit(
+                "--device-data needs every raw image the same size (the set "
+                f"is stacked into one device array): {e}"
+            ) from None
+        idx_it = batch_index_iter(
+            len(train_ds), args.batch_size, repeat=True, shuffle=shuffle
+        )
+        print(f"[tpurpn] device-resident training data: {dev_imgs.shape} "
+              f"uint8 ({dev_imgs.nbytes / 1e9:.2f} GB)")
+    else:
+        it = Prefetcher(
+            train_ds.batches(args.batch_size, repeat=True, shuffle=shuffle),
+            depth=2,
+        )
     for epoch in range(args.epochs):
         t0 = time.time()
         # metrics stay ON DEVICE between syncs: a per-step host sync costs a
@@ -190,18 +223,49 @@ def trainer_main(argv=None):
             all_vals.append(vals)
             checked = upto
 
-        for s in range(steps_per_epoch):
-            imgs, boxes, labels = next(it)
-            imgs, boxes, labels = jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(labels)
-            if mesh is not None:
-                imgs, boxes, labels = shard_batch(mesh, imgs, boxes, labels)
-            key, sk = jax.random.split(key)
-            state, metrics = step_fn(state, imgs, boxes, labels, sk)
-            losses.append(metrics["loss"])
-            step_metrics.append(metrics)
-            if len(losses) - checked >= NAN_CHECK_EVERY:
-                check_finite(len(losses))
-        check_finite(len(losses))
+        if args.device_data:
+            done = 0
+            while done < steps_per_epoch:
+                nsteps = min(NAN_CHECK_EVERY, steps_per_epoch - done)
+                run = scan_runs.get(nsteps)
+                if run is None:
+                    run = scan_runs[nsteps] = make_scan_train_steps(
+                        hp, model=model, augment=not args.no_augment,
+                        batch_size=args.batch_size, num_steps=nsteps,
+                    )
+                sample_idx = jnp.asarray(
+                    np.stack([next(idx_it) for _ in range(nsteps)]), jnp.int32
+                )
+                state, key, metrics = run(
+                    state, key, dev_imgs, dev_boxes, dev_labels, sample_idx
+                )
+                vals = np.asarray(metrics["loss"])
+                if not np.isfinite(vals).all():
+                    bad = int(np.argmax(~np.isfinite(vals)))
+                    detail = ", ".join(
+                        f"{k}={float(v[bad]):.6g}"
+                        for k, v in sorted(metrics.items())
+                    )
+                    raise FloatingPointError(
+                        f"non-finite training loss at epoch {epoch + 1} step "
+                        f"{done + bad} ({detail}) — check learning rate / "
+                        f"data; training state NOT saved"
+                    )
+                all_vals.append(vals)
+                done += nsteps
+        else:
+            for s in range(steps_per_epoch):
+                imgs, boxes, labels = next(it)
+                imgs, boxes, labels = jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(labels)
+                if mesh is not None:
+                    imgs, boxes, labels = shard_batch(mesh, imgs, boxes, labels)
+                key, sk = jax.random.split(key)
+                state, metrics = step_fn(state, imgs, boxes, labels, sk)
+                losses.append(metrics["loss"])
+                step_metrics.append(metrics)
+                if len(losses) - checked >= NAN_CHECK_EVERY:
+                    check_finite(len(losses))
+            check_finite(len(losses))
         # zero-step epoch (train set < batch_size with drop_remainder, or
         # --steps-per-epoch 0): report nan rather than crash on concatenate([])
         mean_loss = (

@@ -107,6 +107,42 @@ def _max_iou(box: np.ndarray, others: np.ndarray) -> float:
     return float((inter / np.maximum(union, 1e-8)).max())
 
 
+def batch_index_iter(
+    num_samples: int,
+    batch_size: int,
+    *,
+    repeat: bool = False,
+    drop_remainder: bool = True,
+    shuffle: Optional[int] = None,
+) -> Iterator[np.ndarray]:
+    """Yield per-batch sample indices — THE dataset walk, as data.
+
+    This is the index logic of ``SyntheticVOC.batches`` (fixed order, or a
+    fresh deterministic permutation per epoch when ``shuffle`` is an integer
+    seed; remainder batches dropped by default) factored out so it can be
+    consumed two ways: materialized into sample batches by ``batches()``, or
+    stacked into a ``(num_steps, batch_size)`` int32 array and handed to
+    ``make_scan_train_steps``'s ``sample_idx`` — device-resident scanned
+    training then replays bit-for-bit the order a host loop would have seen.
+    """
+    epoch = 0
+    while True:
+        if shuffle is not None:
+            order = np.random.default_rng(
+                (np.uint32(shuffle), np.uint32(epoch))
+            ).permutation(num_samples)
+        else:
+            order = np.arange(num_samples)
+        for start in range(0, num_samples, batch_size):
+            idxs = order[start : min(start + batch_size, num_samples)]
+            if drop_remainder and len(idxs) < batch_size:
+                continue
+            yield idxs
+        epoch += 1
+        if not repeat:
+            return
+
+
 @dataclasses.dataclass
 class SyntheticVOC:
     """Procedural detection data: bright axis-aligned rectangles on noise.
@@ -184,41 +220,33 @@ class SyntheticVOC:
             from . import native as native_mod
 
             use_native = native_mod.available() if native is None else True
-        epoch = 0
-        num_samples = len(self)  # shared with VOCDirectory, which has no num_samples
-        while True:
-            if shuffle is not None:
-                order = np.random.default_rng(
-                    (np.uint32(shuffle), np.uint32(epoch))
-                ).permutation(num_samples)
-            else:
-                order = np.arange(num_samples)
-            for start in range(0, num_samples, batch_size):
-                idxs = order[start : min(start + batch_size, num_samples)]
-                if drop_remainder and len(idxs) < batch_size:
-                    continue
-                if use_native:
-                    from . import native as native_mod
+        # index walk shared with batch_index_iter so device-resident scanned
+        # training (make_scan_train_steps + sample_idx) can replay the exact
+        # same sample order; len(self) also covers VOCDirectory, which has no
+        # num_samples field
+        for idxs in batch_index_iter(
+            len(self), batch_size, repeat=repeat,
+            drop_remainder=drop_remainder, shuffle=shuffle,
+        ):
+            if use_native:
+                from . import native as native_mod
 
-                    yield native_mod.generate_batch(
-                        self.seed,
-                        np.asarray(idxs, np.int64),
-                        self.raw_h,
-                        self.raw_w,
-                        self.max_boxes,
-                        self.min_boxes,
-                        len(VOC_CLASSES),
-                    )
-                else:
-                    samples = [self.sample(i) for i in idxs]
-                    yield (
-                        np.stack([s[0] for s in samples]),
-                        np.stack([s[1] for s in samples]),
-                        np.stack([s[2] for s in samples]),
-                    )
-            epoch += 1
-            if not repeat:
-                return
+                yield native_mod.generate_batch(
+                    self.seed,
+                    np.asarray(idxs, np.int64),
+                    self.raw_h,
+                    self.raw_w,
+                    self.max_boxes,
+                    self.min_boxes,
+                    len(VOC_CLASSES),
+                )
+            else:
+                samples = [self.sample(i) for i in idxs]
+                yield (
+                    np.stack([s[0] for s in samples]),
+                    np.stack([s[1] for s in samples]),
+                    np.stack([s[2] for s in samples]),
+                )
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,15 @@ def handle_args(argv=None) -> argparse.Namespace:
                         "trains at batch sizes whose activations OOM "
                         "monolithically, e.g. VGG16 @ 500 px batch 64 on one "
                         "v5e. Incompatible with --data-parallel")
+    p.add_argument("--device-data", action="store_true",
+                   help="keep the WHOLE training set resident in device "
+                        "memory and chain steps on-device in ~100-step "
+                        "dispatches (make_scan_train_steps): removes the "
+                        "per-step host->device batch upload that dominates "
+                        "wall time on high-latency device links. Same sample "
+                        "walk/shuffle and RNG as the default host loop. "
+                        "Requires a uniform-raw-size dataset that fits in "
+                        "HBM; incompatible with --data-parallel/--grad-accum")
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--no-shuffle", action="store_true",
                    help="disable per-epoch training-data shuffling")

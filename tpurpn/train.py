@@ -233,13 +233,17 @@ def make_scan_train_steps(
     data-parallel training use make_train_step, whose per-step host feed is
     the sharding boundary.
 
-    run(state, key, images_u8 (N,H,W,3), gt_boxes (N,M,4), gt_labels (N,M))
-        -> (state, key, metrics)                 [metrics values: (num_steps,)]
+    run(state, key, images_u8 (N,H,W,3), gt_boxes (N,M,4), gt_labels (N,M),
+        sample_idx=None) -> (state, key, metrics)  [metrics values: (num_steps,)]
 
-    The data walk is positioned by ``state.step`` (batch ``s`` starts at row
-    ``(state.step * B) % N``), so chunked calls — and runs resumed from a
-    checkpoint — continue the epoch exactly where the previous call stopped,
-    and the donated state needs no step argument passed alongside it.
+    By default the data walk is positioned by ``state.step`` (batch ``s``
+    starts at row ``(state.step * B) % N``), so chunked calls — and runs
+    resumed from a checkpoint — continue the epoch exactly where the
+    previous call stopped, and the donated state needs no step argument
+    passed alongside it. Passing ``sample_idx`` (int32 ``(num_steps, B)``)
+    instead gathers each step's batch by explicit row indices — stack
+    ``data.batch_index_iter(..., shuffle=seed)`` rows to replay the host
+    iterator's per-epoch shuffling exactly (the CLI's --device-data mode).
     """
     if batch_size < 1 or num_steps < 1:
         raise ValueError(
@@ -249,21 +253,36 @@ def make_scan_train_steps(
     anchors = generate_anchors(hp)
     step_fn = _make_step_fn(hp, model, anchors, augment)
 
-    def run_fn(state, key, images_u8, gt_boxes, gt_labels):
+    def run_fn(state, key, images_u8, gt_boxes, gt_labels, sample_idx=None):
         n = images_u8.shape[0]
-        if n % batch_size:
+        if sample_idx is None:
+            if n % batch_size:
+                raise ValueError(
+                    f"dataset size {n} not divisible by batch_size "
+                    f"{batch_size}: the host iterator drops the remainder; "
+                    "pad or trim the data, or pass explicit sample_idx"
+                )
+        elif sample_idx.shape != (num_steps, batch_size):
             raise ValueError(
-                f"dataset size {n} not divisible by batch_size {batch_size}: "
-                "the host iterator drops the remainder; pad or trim the data"
+                f"sample_idx shape {sample_idx.shape} != "
+                f"(num_steps, batch_size) = ({num_steps}, {batch_size})"
             )
 
-        def body(carry, _):
+        def body(carry, idxs):
             state, key = carry
             key, sk = jax.random.split(key)
-            off = (state.step.astype(jnp.int32) * batch_size) % n
+            if idxs is None:  # fixed-order walk positioned by state.step
+                off = (state.step.astype(jnp.int32) * batch_size) % n
 
-            def sl(a):
-                return jax.lax.dynamic_slice_in_dim(a, off, batch_size, axis=0)
+                def sl(a):
+                    return jax.lax.dynamic_slice_in_dim(
+                        a, off, batch_size, axis=0
+                    )
+
+            else:  # explicit per-step rows (shuffled epochs)
+
+                def sl(a):
+                    return jnp.take(a, idxs, axis=0)
 
             state, metrics = step_fn(
                 state, sl(images_u8), sl(gt_boxes), sl(gt_labels), sk
@@ -271,7 +290,7 @@ def make_scan_train_steps(
             return (state, key), metrics
 
         (state, key), metrics = jax.lax.scan(
-            body, (state, key), None, length=num_steps
+            body, (state, key), sample_idx, length=num_steps
         )
         return state, key, metrics
 
