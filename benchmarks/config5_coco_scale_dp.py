@@ -89,6 +89,44 @@ def main():
         images_per_sec_per_chip=round(BATCH / dt / n_devices, 2),
     )
 
+    # Round 5: the device-resident scanned variant — the dataset shards over
+    # the mesh ONCE (N/D rows per device HBM), each device walks its own
+    # shard, and `iters` steps chain inside one lax.scan dispatch
+    # (train.make_scan_train_steps(mesh=...); parity with the sharded host
+    # loop pinned in tests/test_train.py). vs the row above, this also
+    # removes the per-step dispatch itself, not just the host feed.
+    from tpurpn.train import make_scan_train_steps
+
+    N = BATCH * 8
+    ds2 = SyntheticVOC(num_samples=N, raw_h=480, raw_w=640,
+                       max_boxes=hp.max_gt_boxes)
+    imgs2, boxes2, labels2 = next(ds2.batches(N))
+    sh_ds = shard_batch(mesh, jnp.asarray(imgs2), jnp.asarray(boxes2),
+                        jnp.asarray(labels2))
+    state2 = replicate(
+        mesh, create_train_state(hp, jax.random.key(0), model=model)
+    )
+    run = make_scan_train_steps(hp, model=model, augment=True,
+                                batch_size=BATCH, num_steps=iters, mesh=mesh)
+    key2 = jax.random.key(1)
+    state2, key2, mm = run(state2, key2, *sh_ds)  # compile + warm
+    float(mm["loss"][-1])
+    dt2 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state2, key2, mm = run(state2, key2, *sh_ds)
+        float(mm["loss"][-1])
+        dt2 = min(dt2, (time.perf_counter() - t0) / iters)
+    emit(
+        "config5_coco_scale_dp_train_scanned",
+        BATCH / dt2,
+        "images/sec",
+        devices=n_devices,
+        per_device_batch=per_device_batch,
+        resident_images=N,
+        images_per_sec_per_chip=round(BATCH / dt2 / n_devices, 2),
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -316,6 +316,146 @@ def test_scan_train_steps_sample_idx_matches_shuffled_host_loop():
         )
 
 
+def test_scan_train_steps_start_step_overrides_state_step():
+    """start_step pins the fixed-order walk origin explicitly (ADVICE r4:
+    resuming under a different recipe makes state.step-positioning wrong);
+    it must equal the same rows fed via explicit sample_idx."""
+    from tpurpn.train import make_scan_train_steps
+
+    hp = tiny_hp()
+    batch, n_samples, n_steps, origin = 4, 8, 3, 5
+    ds = SyntheticVOC(num_samples=n_samples, raw_h=72, raw_w=96, seed=3)
+    imgs_all, boxes_all, labels_all = (
+        jnp.asarray(x) for x in next(ds.batches(n_samples))
+    )
+    run = make_scan_train_steps(hp, augment=False, batch_size=batch,
+                                num_steps=n_steps)
+
+    state_a = create_train_state(hp, jax.random.key(0))
+    state_a, _, m_a = run(state_a, jax.random.key(1), imgs_all, boxes_all,
+                          labels_all, start_step=origin)
+
+    rows = np.stack([
+        ((origin + s) * batch) % n_samples + np.arange(batch)
+        for s in range(n_steps)
+    ]).astype(np.int32)
+    state_b = create_train_state(hp, jax.random.key(0))
+    state_b, _, m_b = run(state_b, jax.random.key(1), imgs_all, boxes_all,
+                          labels_all, jnp.asarray(rows))
+
+    np.testing.assert_allclose(
+        np.asarray(m_a["loss"]), np.asarray(m_b["loss"]), rtol=3e-6, atol=0
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-6, atol=1e-6
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run(create_train_state(hp, jax.random.key(0)), jax.random.key(1),
+            imgs_all, boxes_all, labels_all, jnp.asarray(rows),
+            start_step=origin)
+
+
+@pytest.mark.parametrize("shuffle", [None, 11])
+def test_mesh_scan_train_steps_matches_sharded_host_loop(shuffle):
+    """The mesh-sharded scanned trainer (config 5's device-resident variant,
+    VERDICT r4 #3) == a feed-equivalent sharded host loop: same global
+    batches (per-shard walk rows from sharded_batch_index_iter), same key
+    chain, same step body — GSPMD global-batch semantics, so losses/params
+    agree to float round-off exactly like the single-device scan proof."""
+    from tpurpn.data import sharded_batch_index_iter
+    from tpurpn.train import make_scan_train_steps
+
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_data_mesh(8)
+    hp = tiny_hp()
+    batch, n_samples, n_steps = 8, 16, 5  # per-shard 2 rows: 2.5 epochs
+    ds = SyntheticVOC(num_samples=n_samples, raw_h=72, raw_w=96, seed=3)
+    imgs_all, boxes_all, labels_all = (
+        jnp.asarray(x) for x in next(ds.batches(n_samples))
+    )
+    idx_it = sharded_batch_index_iter(
+        n_samples, batch, 8, repeat=True, shuffle=shuffle
+    )
+    rows = np.stack([next(idx_it) for _ in range(n_steps)])
+
+    # feed-equivalent mesh host loop over the same global rows
+    state_a = replicate(mesh, create_train_state(hp, jax.random.key(0)))
+    step = make_train_step(hp, mesh=mesh, augment=True)
+    key = jax.random.key(1)
+    losses_a = []
+    for s in range(n_steps):
+        sel = rows[s]
+        sh = shard_batch(
+            mesh, imgs_all[sel], boxes_all[sel], labels_all[sel]
+        )
+        key, sk = jax.random.split(key)
+        state_a, m = step(state_a, *sh, sk)
+        losses_a.append(float(m["loss"]))
+
+    # one scanned mesh call over the shard-resident dataset
+    state_b = replicate(mesh, create_train_state(hp, jax.random.key(0)))
+    run = make_scan_train_steps(hp, augment=True, batch_size=batch,
+                                num_steps=n_steps, mesh=mesh)
+    sh_ds = shard_batch(mesh, imgs_all, boxes_all, labels_all)
+    sample_idx = None if shuffle is None else jnp.asarray(rows, jnp.int32)
+    state_b, _, metrics = run(state_b, jax.random.key(1), *sh_ds, sample_idx)
+
+    np.testing.assert_allclose(
+        np.asarray(metrics["loss"]), np.asarray(losses_a, np.float32),
+        rtol=3e-6, atol=0,
+    )
+    assert int(jax.device_get(state_b.step)) == n_steps
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-6, atol=1e-6
+        )
+
+
+def test_mesh_scan_train_steps_validates_inputs():
+    from tpurpn.train import make_scan_train_steps
+
+    mesh = make_data_mesh(8)
+    hp = tiny_hp()
+    with pytest.raises(ValueError, match="devices"):
+        make_scan_train_steps(hp, batch_size=12, num_steps=2, mesh=mesh)
+    run = make_scan_train_steps(hp, augment=False, batch_size=8, num_steps=2,
+                                mesh=mesh)
+    ds = SyntheticVOC(num_samples=16, raw_h=72, raw_w=96, seed=3)
+    imgs, boxes, labels = (jnp.asarray(x) for x in next(ds.batches(16)))
+    state = replicate(mesh, create_train_state(hp, jax.random.key(0)))
+    # a fixed-order walk (position block d reads shard d) violated: row 0
+    # appears in block 1, whose shard is rows [2, 4)
+    bad = jnp.asarray(np.zeros((2, 8), np.int32))
+    with pytest.raises(ValueError, match="shard locality"):
+        run(state, jax.random.key(1), imgs, boxes, labels, bad)
+
+
+def test_sharded_batch_index_iter_contract():
+    from tpurpn.data import sharded_batch_index_iter
+
+    # locality: block d indexes shard d only; shuffled epochs repermute
+    it = sharded_batch_index_iter(16, 8, 4, repeat=True, shuffle=5)
+    n_local, b_local = 4, 2
+    seen = []
+    for _ in range(4):  # 2 epochs (2 batches/epoch)
+        row = next(it)
+        assert row.shape == (8,)
+        for d in range(4):
+            blk = row[d * b_local:(d + 1) * b_local]
+            assert ((blk >= d * n_local) & (blk < (d + 1) * n_local)).all()
+        seen.append(row)
+    # each epoch covers every row exactly once
+    epoch0 = np.sort(np.concatenate(seen[:2]))
+    np.testing.assert_array_equal(epoch0, np.arange(16))
+    with pytest.raises(ValueError, match="divide"):
+        next(sharded_batch_index_iter(15, 8, 4))
+    with pytest.raises(ValueError, match="remainder"):
+        next(sharded_batch_index_iter(16, 12, 4))
+
+
 def test_scan_train_steps_rejects_ragged_dataset():
     from tpurpn.train import make_scan_train_steps
 

@@ -143,6 +143,59 @@ def batch_index_iter(
             return
 
 
+def sharded_batch_index_iter(
+    num_samples: int,
+    batch_size: int,
+    num_shards: int,
+    *,
+    repeat: bool = False,
+    shuffle: Optional[int] = None,
+) -> Iterator[np.ndarray]:
+    """Shard-local dataset walk for the mesh-sharded scanned trainer.
+
+    Yields ``(batch_size,)`` GLOBAL row indices where batch-position block
+    ``d`` (entries ``[d*B/D, (d+1)*B/D)``) indexes only shard ``d``'s rows
+    (``[d*N/D, (d+1)*N/D)``) — the locality contract
+    ``train.make_scan_train_steps(mesh=...)`` requires so every per-step
+    gather stays on-device (see its docstring). Each shard walks its own
+    rows in fixed order, or under its own deterministic per-epoch
+    permutation when ``shuffle`` is a seed (streams are independent per
+    shard: rng seeded by (shuffle, shard, epoch)). Epochs stay aligned
+    across shards because N/D and B/D are required to divide evenly.
+    """
+    if num_samples % num_shards or batch_size % num_shards:
+        raise ValueError(
+            f"num_samples {num_samples} and batch_size {batch_size} must "
+            f"both divide by num_shards {num_shards}"
+        )
+    n_local = num_samples // num_shards
+    b_local = batch_size // num_shards
+    if n_local % b_local:
+        raise ValueError(
+            f"per-shard size {n_local} not divisible by per-shard batch "
+            f"{b_local}: shards would drop different remainders"
+        )
+    epoch = 0
+    while True:
+        if shuffle is not None:
+            orders = [
+                np.random.default_rng(
+                    (np.uint32(shuffle), np.uint32(d), np.uint32(epoch))
+                ).permutation(n_local)
+                for d in range(num_shards)
+            ]
+        else:
+            orders = [np.arange(n_local)] * num_shards
+        for start in range(0, n_local, b_local):
+            yield np.concatenate([
+                d * n_local + orders[d][start : start + b_local]
+                for d in range(num_shards)
+            ])
+        epoch += 1
+        if not repeat:
+            return
+
+
 @dataclasses.dataclass
 class SyntheticVOC:
     """Procedural detection data: bright axis-aligned rectangles on noise.
