@@ -40,9 +40,12 @@ def test_trainer_then_predictor_roundtrip(tmp_path):
         "--backbone", "mobilenet_v2", "--img-size", "64", "--epochs", "1",
         "--steps-per-epoch", "2", "--batch-size", "2",
         "--output-dir", out_dir, "--learning-rate", "0.001",
+        "--eval-recall-every", "1",
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "saved best checkpoint" in r.stdout
+    # --eval-recall-every: the north-star metric surfaces from the trainer
+    assert "val_recall@300=" in r.stdout
     ckpt = os.path.join(out_dir, "rpn_mobilenet_v2")
     assert os.path.isdir(ckpt)
 
@@ -75,9 +78,20 @@ def test_trainer_device_data_mode(tmp_path):
     assert "saved best checkpoint" in r.stdout
     assert os.path.isdir(os.path.join(out_dir, "rpn_mobilenet_v2"))
 
-    r2 = run_cli("rpn_trainer.py", *common, "--device-data", "--data-parallel")
-    assert r2.returncode != 0
-    assert "incompatible with --data-parallel" in (r2.stdout + r2.stderr)
+    # round 5: --device-data composes with --data-parallel — the dataset
+    # shards over the mesh and each device walks its own shard (config 5's
+    # no-host-feed combination); batch size must divide by the 8 virtual
+    # devices the conftest provides to this subprocess via XLA_FLAGS
+    r2 = run_cli(
+        "rpn_trainer.py",
+        "--backbone", "mobilenet_v2", "--img-size", "64", "--epochs", "1",
+        "--steps-per-epoch", "2", "--batch-size", "8",
+        "--output-dir", str(tmp_path / "trained_dp"),
+        "--learning-rate", "0.001", "--device-data", "--data-parallel",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "sharded over 8 devices" in r2.stdout
+    assert "saved best checkpoint" in r2.stdout
 
     r3 = run_cli("rpn_trainer.py", *common, "--device-data", "--grad-accum", "2")
     assert r3.returncode != 0

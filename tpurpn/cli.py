@@ -39,6 +39,10 @@ from tpurpn.train import (
 
 def trainer_main(argv=None):
     args = handle_args(argv)
+    # flag-compatibility checks first, before any mesh/step/dataset work is
+    # spent on a doomed invocation (ADVICE r4)
+    if args.device_data and args.grad_accum > 1:
+        raise SystemExit("--device-data is incompatible with --grad-accum")
     hp = get_hyper_params(args.backbone, img_size=args.img_size)
     if args.handle_gpu:  # reference parity: -handle-gpu
         from tpurpn.io_utils import handle_device_compatibility
@@ -148,6 +152,33 @@ def trainer_main(argv=None):
             )))
         return float(np.mean(losses)) if losses else None
 
+    predict_fn = None
+
+    def validation_recall(state):
+        # optional epoch hook (--eval-recall-every): recall@test_nms_topn is
+        # the north-star accuracy metric (BASELINE.json:2) while val_loss is
+        # only the reference-parity checkpoint monitor — long runs plateau in
+        # recall well before the loss stops improving (BASELINE.md), so
+        # expose it from the trainer instead of requiring a separate
+        # recall_demo invocation
+        nonlocal predict_fn
+        if predict_fn is None:
+            predict_fn = make_predict_fn(model, hp)
+        variables = {"params": state.params}
+        if jax.tree_util.tree_leaves(state.batch_stats):
+            variables["batch_stats"] = state.batch_stats
+        rec = gt = 0
+        for imgs, boxes, labels in val_ds.batches(args.batch_size):
+            x, b = preprocess_batch(
+                jnp.asarray(imgs), jnp.asarray(boxes), hp.img_size
+            )
+            out = predict_fn(variables, x)
+            r = proposal_recall(out["roi_boxes"], out["num_valid"], b,
+                                jnp.asarray(labels))
+            rec += int(r["num_recalled"])
+            gt += int(r["num_gt"])
+        return rec / max(1, gt)
+
     print(f"[tpurpn] training {args.epochs} epochs x {steps_per_epoch} steps, "
           f"batch {args.batch_size}; logs: {log_path}")
     from tpurpn.data import Prefetcher, batch_index_iter
@@ -161,29 +192,46 @@ def trainer_main(argv=None):
         # NAN_CHECK_EVERY-step lax.scan dispatches. Identical sample walk
         # (batch_index_iter is the iterator's own index logic) and key chain
         # (split per step) as the host loop below — only the per-step
-        # host->device upload disappears.
-        if args.data_parallel:
-            raise SystemExit(
-                "--device-data is incompatible with --data-parallel: the "
-                "scanned trainer has no mesh variant (the per-step host feed "
-                "is the sharding boundary)"
-            )
-        if args.grad_accum > 1:
-            raise SystemExit("--device-data is incompatible with --grad-accum")
+        # host->device upload disappears. With --data-parallel the dataset
+        # is sharded over the mesh's 'data' axis (N/D rows per device HBM)
+        # and each device walks its own shard (sharded_batch_index_iter) —
+        # config 5's combination: data-parallel training with no per-step
+        # host feed (train.make_scan_train_steps(mesh=...)).
         try:
             dev_imgs, dev_boxes, dev_labels = (
-                jnp.asarray(x) for x in next(train_ds.batches(len(train_ds)))
+                jnp.asarray(x) if mesh is None else x
+                for x in next(train_ds.batches(len(train_ds)))
             )
         except ValueError as e:
             raise SystemExit(
                 "--device-data needs every raw image the same size (the set "
                 f"is stacked into one device array): {e}"
             ) from None
-        idx_it = batch_index_iter(
-            len(train_ds), args.batch_size, repeat=True, shuffle=shuffle
-        )
+        if mesh is None:
+            idx_it = batch_index_iter(
+                len(train_ds), args.batch_size, repeat=True, shuffle=shuffle
+            )
+        else:
+            from tpurpn.data import sharded_batch_index_iter
+
+            n_dev = mesh.devices.size
+            if len(train_ds) % n_dev or args.batch_size % n_dev:
+                raise SystemExit(
+                    f"--device-data --data-parallel needs the dataset size "
+                    f"({len(train_ds)}) and --batch-size ({args.batch_size}) "
+                    f"to divide by the {n_dev} mesh devices"
+                )
+            idx_it = sharded_batch_index_iter(
+                len(train_ds), args.batch_size, n_dev, repeat=True,
+                shuffle=shuffle,
+            )
+            dev_imgs, dev_boxes, dev_labels = shard_batch(
+                mesh, dev_imgs, dev_boxes, dev_labels
+            )
         print(f"[tpurpn] device-resident training data: {dev_imgs.shape} "
-              f"uint8 ({dev_imgs.nbytes / 1e9:.2f} GB)")
+              f"uint8 ({dev_imgs.nbytes / 1e9:.2f} GB"
+              + (f", sharded over {mesh.devices.size} devices)"
+                 if mesh is not None else ")"))
     else:
         it = Prefetcher(
             train_ds.batches(args.batch_size, repeat=True, shuffle=shuffle),
@@ -232,6 +280,7 @@ def trainer_main(argv=None):
                     run = scan_runs[nsteps] = make_scan_train_steps(
                         hp, model=model, augment=not args.no_augment,
                         batch_size=args.batch_size, num_steps=nsteps,
+                        mesh=mesh,
                     )
                 sample_idx = jnp.asarray(
                     np.stack([next(idx_it) for _ in range(nsteps)]), jnp.int32
@@ -288,21 +337,31 @@ def trainer_main(argv=None):
                 print(f"[tpurpn] WARNING: non-finite val_loss {val_loss} — "
                       "no checkpoint will be saved this epoch")
             monitored = val_loss
+        val_recall = None
+        if args.eval_recall_every and (epoch + 1) % args.eval_recall_every == 0:
+            val_recall = validation_recall(state)
         dt = time.time() - t0
         ips = steps_per_epoch * args.batch_size / dt
         val_str = "n/a" if val_loss is None else f"{val_loss:.4f}"
+        rec_str = "" if val_recall is None else (
+            f" val_recall@{hp.test_nms_topn}={val_recall:.4f}"
+        )
         print(f"[tpurpn] epoch {epoch + 1}/{args.epochs} loss={mean_loss:.4f} "
-              f"val_loss={val_str} ({ips:.1f} img/s)")
+              f"val_loss={val_str}{rec_str} ({ips:.1f} img/s)")
         with open(f"{log_path}/metrics.jsonl", "a") as f:
             import json
 
-            f.write(json.dumps({"epoch": epoch + 1, "loss": mean_loss,
-                                "val_loss": val_loss,
-                                "images_per_sec": ips}) + "\n")
+            rec = {"epoch": epoch + 1, "loss": mean_loss,
+                   "val_loss": val_loss, "images_per_sec": ips}
+            if val_recall is not None:
+                rec["val_recall"] = val_recall
+            f.write(json.dumps(rec) + "\n")
         if writer is not None:
             writer.add_scalar("loss/train", mean_loss, epoch + 1)
             if val_loss is not None:
                 writer.add_scalar("loss/val", val_loss, epoch + 1)
+            if val_recall is not None:
+                writer.add_scalar("recall/val", val_recall, epoch + 1)
             writer.add_scalar("images_per_sec", ips, epoch + 1)
         # reference parity: ModelCheckpoint(save_best_only=True, monitor val).
         # Full train state (SURVEY.md §5): resume continues the optimizer.

@@ -64,7 +64,13 @@ def handle_args(argv=None) -> argparse.Namespace:
                         "wall time on high-latency device links. Same sample "
                         "walk/shuffle and RNG as the default host loop. "
                         "Requires a uniform-raw-size dataset that fits in "
-                        "HBM; incompatible with --data-parallel/--grad-accum")
+                        "HBM; composes with --data-parallel (the set shards "
+                        "over the mesh); incompatible with --grad-accum")
+    p.add_argument("--eval-recall-every", type=int, default=0, metavar="N",
+                   help="trainer: every N epochs, also evaluate proposal "
+                        "recall@test_nms_topn on the validation set (the "
+                        "north-star accuracy metric) and log it alongside "
+                        "val_loss; 0 (default) disables")
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--no-shuffle", action="store_true",
                    help="disable per-epoch training-data shuffling")
