@@ -238,6 +238,12 @@ def make_predict_fn(model, hp: HyperParams, topn: int | None = None, mesh=None,
     even-size inputs, the resize emits space-to-depth layout directly and
     Conv1 runs folded (tpurpn.inference.s2d_uint8_stem; parity in
     tests/test_inference_s2d.py).
+
+    Serving batch size: prefer powers of two (128 or 256 on v5e). The
+    measured throughput curve is non-monotone — 6180 img/s @128 and 6049
+    @256 but only ~4600-5300 across 160-224 (XLA conv efficiency resonates
+    with power-of-two batches; BASELINE.md config-2 analysis, r5 sweep) —
+    so a dispatcher should pad/split request batches to those sizes.
     """
     anchors = generate_anchors(hp)
     out_topn = hp.test_nms_topn if topn is None else topn
