@@ -72,6 +72,15 @@ def main(batch=128):
     VARIANTS = {  # name -> fused_ir_stage kwargs for the S=63 stage
         "split1_vmem64": dict(vmem_limit_mb=64),
         "split2_vmem64": dict(c_exp_split=2, vmem_limit_mb=64),
+        # round 5 (VERDICT r4 weak #4): the r3 attempts predate dw_input_bf16
+        # — carrying the expanded activations bf16 halves the depthwise
+        # working set (the S=63 stage's dominant VMEM pressure), the one
+        # toolkit lever the 0.83x result never combined with the others
+        "split1_bf16_vmem64": dict(dw_input_bf16=True, vmem_limit_mb=64),
+        "split2_bf16_vmem64": dict(c_exp_split=2, dw_input_bf16=True,
+                                   vmem_limit_mb=64),
+        "split2_bf16_vmem32": dict(c_exp_split=2, dw_input_bf16=True,
+                                   vmem_limit_mb=32),
     }
 
     # parity on real activations

@@ -19,5 +19,15 @@ run() {
 T=1800 run python benchmarks/breakdown.py 192
 T=2400 run python benchmarks/exp_batch_sweep.py 160 176 192 208 224
 T=4800 run python benchmarks/roofline.py
+T=4800 run python benchmarks/roofline.py 192
 T=2400 run python benchmarks/config5_coco_scale_dp.py
-echo "=== round5 TPU done $(date) ===" >> "$LOG"
+
+# Same guard as run_tpu_battery.sh (VERDICT r4 weak #1/#7): refuse to
+# declare success if any step mutated a tracked benchmark-relevant file.
+DIRTY=$(git status --porcelain -- trained benchmarks bench.py tpurpn)
+if [ -n "$DIRTY" ]; then
+  echo "=== round5 TPU FAILED $(date): tree dirty after run ===" >> "$LOG"
+  echo "$DIRTY" >> "$LOG"
+  exit 1
+fi
+echo "=== round5 TPU done $(date): tree clean ===" >> "$LOG"
