@@ -19,7 +19,7 @@ share every hyper-parameter: adam(lr), batch, steps, thresholds 0.7/0.3,
 
 Usage:
     python benchmarks/tf_reference_recall.py tf     <backbone> <img> <steps> <batch> <lr> <out.json> [bn_momentum]
-    python benchmarks/tf_reference_recall.py tpurpn <backbone> <img> <steps> <batch> <lr> <out.json> [bn_momentum]
+    python benchmarks/tf_reference_recall.py tpurpn <backbone> <img> <steps> <batch> <lr> <out.json> [bn_momentum] [compute_dtype] [seed]
     python benchmarks/tf_reference_recall.py compare <tf.json> <tpurpn.json>
 
 ``bn_momentum`` pins BatchNorm running-stats momentum on either side.
@@ -277,7 +277,7 @@ def run_tf(backbone, img_size, steps, batch, lr, out_path, bn_momentum=None):
 
 
 def run_tpurpn(backbone, img_size, steps, batch, lr, out_path, bn_momentum=None,
-               compute_dtype=None):
+               compute_dtype=None, seed=0):
     from benchmarks.common import enable_compile_cache
 
     enable_compile_cache()
@@ -304,14 +304,18 @@ def run_tpurpn(backbone, img_size, steps, batch, lr, out_path, bn_momentum=None,
         cfg["compute_dtype"] = compute_dtype
     hp = get_hyper_params(**cfg)
     model = get_model(hp)
-    state = create_train_state(hp, jax.random.key(0), tx=optax.adam(lr),
-                               model=model)
+    # seed offsets the init/sampling RNG streams (the DATA stays identical):
+    # a second seed bounds the run-to-run recall spread at a given scale —
+    # needed to interpret deltas like the 288px +0.04 (r5), where mid-training
+    # recall variance, not pipeline semantics, is the question
+    state = create_train_state(hp, jax.random.key(2 * int(seed)),
+                               tx=optax.adam(lr), model=model)
     step = make_train_step(hp, model=model, augment=False)
     predict = make_predict_fn(model, hp)
     train_ds = dataset_batches("train", batch, hp.max_gt_boxes)
     val_ds = dataset_batches("validation", batch, hp.max_gt_boxes)
 
-    key = jax.random.key(1)
+    key = jax.random.key(2 * int(seed) + 1)
     t0 = time.time()
     it = train_ds.batches(batch, repeat=True, native=False)
     loss = float("nan")
@@ -348,6 +352,7 @@ def run_tpurpn(backbone, img_size, steps, batch, lr, out_path, bn_momentum=None,
         backend=jax.default_backend(),
         bn_momentum=hp.bn_momentum,
         compute_dtype=hp.compute_dtype,
+        seed=int(seed),
     )
     with open(out_path, "w") as f:
         json.dump(result, f)
@@ -382,6 +387,8 @@ if __name__ == "__main__":
         kw = {}
         if mode == "tpurpn" and len(sys.argv) > 9:
             kw["compute_dtype"] = sys.argv[9]
+        if mode == "tpurpn" and len(sys.argv) > 10:
+            kw["seed"] = int(sys.argv[10])
         fn = run_tf if mode == "tf" else run_tpurpn
         fn(backbone, int(img), int(steps), int(batch), float(lr), out,
            bn_momentum=bn_m, **kw)
