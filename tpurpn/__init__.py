@@ -25,7 +25,7 @@ from .boxes import (
     clip_bboxes,
 )
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 
 def __getattr__(name):
