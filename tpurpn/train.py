@@ -229,10 +229,7 @@ def make_scan_train_steps(
     ``state.step`` inside it), so every random word and integer selection
     key is identical; floats agree to round-off (the scan compiles the body
     in a loop context, so XLA fuses it differently than the standalone
-    step — measured 1-ulp loss differences; pinned in tests). No mesh
-    variant: a sharded dataset would pin each sample to one device; for
-    data-parallel training use make_train_step, whose per-step host feed is
-    the sharding boundary.
+    step — measured 1-ulp loss differences; pinned in tests).
 
     run(state, key, images_u8 (N,H,W,3), gt_boxes (N,M,4), gt_labels (N,M),
         sample_idx=None, start_step=None)
